@@ -1,0 +1,138 @@
+"""Pages → link graph: extraction, edge building, dense node IDs, degrees.
+
+Spark-first re-expression of the reference crawl/encode pipeline
+(crawler/core.py:285-313, crawler/crawl.py:59-81, api/build_corpus.py:74-95):
+the crawl loop's per-page work becomes one declarative DAG — Arrow-batched
+extraction UDF, explode, normalize, filters, joins — that Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from engine.functions.udfs import (
+    base_domain_udf,
+    extract_page_udf,
+    normalize_url_udf,
+    resolve_href_udf,
+)
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """(url, html, ...) -> (url, text, hrefs) via ONE shared-parse Arrow UDF.
+
+    Mirrors the reference's single BeautifulSoup parse per page feeding both
+    text extraction and link parsing (crawler/core.py:272,292,296).
+    """
+    return pages.select(
+        "url",
+        extract_page_udf(F.col("html")).alias("ex"),
+    ).select("url", F.col("ex.text").alias("text"), F.col("ex.hrefs").alias("hrefs"))
+
+
+def filter_lang(pages: DataFrame, target_lang: str | None) -> DataFrame:
+    """Language gate (crawler/core.py:277-283): keep pages whose normalized
+    lang starts with the target prefix; pages with unknown (null) lang pass,
+    exactly like the reference (it only skips when page_lang is truthy)."""
+    if not target_lang:
+        return pages
+    t = target_lang.lower()
+    return pages.filter(F.col("lang").isNull() | F.lower(F.col("lang")).startswith(t))
+
+
+def build_edges_url(
+    extracted: DataFrame, base_domain: str | None = None
+) -> DataFrame:
+    """Explode hrefs into normalized absolute edges with the reference's
+    filters applied in the reference's order (crawler/core.py:296-310):
+    urljoin+normalize, same-base-domain keep, mailto:/javascript: drop.
+    Duplicates preserved (the reference appends every anchor; dedupe is a
+    separate operator, api/build_corpus.py:82-93).
+
+    base_domain: last-two-label domain to restrict to. None disables F2.
+    Returns (src STRING, dst STRING).
+    """
+    e = (
+        extracted.select("url", F.explode("hrefs").alias("href"))
+        .withColumn("dst", resolve_href_udf(F.col("url"), F.col("href")))
+        .select(F.col("url").alias("src"), "dst")
+    )
+    if base_domain is not None:
+        e = e.filter(base_domain_udf(F.col("dst")) == F.lit(base_domain.lower()))
+    # scheme filter; reference checks after urljoin (crawler/core.py:303-304)
+    e = e.filter(
+        ~F.col("dst").startswith("mailto:") & ~F.col("dst").startswith("javascript:")
+    )
+    return e
+
+
+def dense_node_ids(urls: DataFrame) -> DataFrame:
+    """Deterministic dense ids 0..n-1 over distinct URLs, sorted-URL order.
+
+    The reference assigns first-seen crawl-order ids (crawler/core.py:285-289)
+    which is nondeterministic under threading; scores are id-permutation
+    invariant and all cross-checks key on url, so we use the deterministic
+    distributed equivalent: range-partition + sort + zipWithIndex (per-partition
+    offsets computed from partition sizes — no global bottleneck; SURVEY §4.2).
+    Input: single STRING column 'url'. Output: (id BIGINT, url STRING).
+    """
+    spark = urls.sparkSession
+    distinct = urls.select("url").distinct()
+    parts = max(distinct.rdd.getNumPartitions(), 1)
+    s = distinct.repartitionByRange(parts, "url").sortWithinPartitions("url")
+    rdd = s.rdd.map(lambda r: r[0]).zipWithIndex().map(lambda t: (t[1], t[0]))
+    schema = StructType(
+        [StructField("id", LongType(), False), StructField("url", StringType(), False)]
+    )
+    return spark.createDataFrame(rdd, schema)
+
+
+def build_nodes(page_urls: DataFrame, edges_url: DataFrame) -> DataFrame:
+    """Node universe = indexed page urls ∪ edge endpoints (the reference's
+    url_to_id gains entries for visited pages and all kept link targets,
+    crawler/core.py:285-289,306-308). Returns (id, url)."""
+    urls = (
+        page_urls.select(F.col(page_urls.columns[0]).alias("url"))
+        .union(edges_url.select(F.col("src").alias("url")))
+        .union(edges_url.select(F.col("dst").alias("url")))
+    )
+    return dense_node_ids(urls)
+
+
+def encode_edges(edges_url: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(src_url, dst_url) -> (src BIGINT, dst BIGINT) via double join with the
+    id dictionary (crawler/crawl.py:66-75 dict lookups → two equi-joins; at
+    web scale these are shuffle joins — nodes is too big to broadcast)."""
+    n_src = nodes.select(F.col("url").alias("src"), F.col("id").alias("src_id"))
+    n_dst = nodes.select(F.col("url").alias("dst"), F.col("id").alias("dst_id"))
+    return (
+        edges_url.join(n_src, "src")
+        .join(n_dst, "dst")
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+    )
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """outdeg per source, duplicate edges counted (pagerank_gpu.cu:66-75
+    counts every edge occurrence). Map-side partial agg is automatic."""
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def dangling(node_ids: DataFrame, out_deg: DataFrame) -> DataFrame:
+    """Nodes with outdeg 0 (pagerank_gpu.cu:77-80): anti-join against edge
+    sources. node_ids: single-column (id)."""
+    return node_ids.select("id").join(
+        out_deg.select(F.col("src").alias("id")), "id", "left_anti"
+    )
+
+
+def dedupe_edges(edges: DataFrame) -> DataFrame:
+    """Exact (src,dst) dedupe (api/build_corpus.py:82-93 'seen' set)."""
+    return edges.distinct()
+
+
+def graph_summary(edges: DataFrame, num_nodes: int, dangling_count: int) -> dict:
+    """N / M / dangling counts (pagerank_gpu.cu:420-427)."""
+    m = edges.count()
+    return {"n": num_nodes, "m": m, "dangling": dangling_count}

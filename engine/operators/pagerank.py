@@ -1,0 +1,283 @@
+"""Damped power-iteration PageRank as an iterative DataFrame dataflow.
+
+Semantics are pinned to the reference recurrence (pagerank_gpu.cu:137-191):
+
+  per iteration (r = current ranks, n = |nodes|, alpha = damping):
+    1. dangling_mass = Σ r[i] over outdeg(i)==0            (cu:149-154)
+    2. r_new[i] = alpha*(Σ_{j→i} r[j]/outdeg(j) + dangling_mass/n)
+                  + (1-alpha)/n                            (cu:156-166)
+    3. delta = Σ |r_new - r|; stop when delta < tol        (cu:169-180)
+  after loop: r /= Σ r                                     (cu:183-189)
+
+Physical design (Spark-first, NOT a CSR port):
+- `adj(src, dst, w=1/outdeg)` replaces the CSR transition matrix; built once,
+  hash-partitioned on the join key and persisted (the reference's
+  precompute-1/outdeg-outside-the-loop, cu:122-129).
+- the SpMV gather (cu:197-217) = adj ⋈ ranks on src, then sum by dst. With
+  `salt_buckets=S` the aggregation is an explicit two-stage skew split:
+  partial sums on (dst, pmod(hash(src),S)) then final sum on dst — hub
+  vertices with huge in-degree never serialize into one reducer.
+- dangling is a rank-1 scalar correction (cu:102,125: dangling rows never
+  enter the matrix), NOT materialized edges.
+- convergence + next iteration's dangling mass + Σrank are ONE multi-aggregate
+  pass over r_new ⋈ r_old (the reference makes three separate sweeps,
+  cu:149-174).
+- lineage is truncated every `checkpoint_every` iterations: either
+  iteration-stamped Parquet snapshots + a JSON manifest with per-iteration
+  metrics (resumable: a rerun picks up from the last snapshot), or
+  localCheckpoint when no checkpoint_dir is given.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id BIGINT, rank DOUBLE), normalized to Σ=1
+    iterations: int
+    converged: bool
+    final_delta: float
+    num_nodes: int
+    num_edges: int
+    metrics: list[dict] = field(default_factory=list)  # per-iteration
+
+
+def _shuffle_totals(spark) -> dict:
+    """Best-effort cumulative shuffle bytes from the UI REST API (local and
+    cluster mode both expose it); {} if unavailable."""
+    try:
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages", timeout=2) as r:
+            stages = json.loads(r.read())
+        return {
+            "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        }
+    except Exception:
+        return {}
+
+
+def _load_manifest(checkpoint_dir: str) -> dict | None:
+    path = os.path.join(checkpoint_dir, "manifest.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def _save_manifest(checkpoint_dir: str, manifest: dict) -> None:
+    path = os.path.join(checkpoint_dir, "manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-8,
+    max_iter: int = 100,
+    salt_buckets: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> PageRankResult:
+    """Run PageRank over an edge table (src BIGINT, dst BIGINT).
+
+    nodes: optional single-column (id) node universe. Default: 0..max(src,dst)
+    — the reference's dense-id convention (pagerank_gpu.cu:64-65), where ids
+    absent from the edge file still exist and are dangling.
+    Duplicate edges count with multiplicity (the reference never dedupes in
+    load_graph; outdeg and the matrix both see every occurrence).
+    Defaults alpha/tol/max_iter match pagerank_gpu.cu:367-370.
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if nodes is None:
+        mx = edges.agg(
+            F.greatest(F.max("src"), F.max("dst")).alias("mx")
+        ).collect()[0]["mx"]
+        if mx is None:
+            raise ValueError("empty edge table")
+        nodes = spark.range(0, int(mx) + 1).select(F.col("id"))
+
+    # ---- one-time graph prep (outside the loop, like build_P cu:85-133) ----
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition(P, "src")
+        .persist()
+    )
+    num_edges = adj.count()  # materialize
+
+    node_info = (
+        nodes.select("id")
+        .join(out_deg.select(F.col("src").alias("id"), "deg"), "id", "left")
+        .select("id", F.col("deg").isNull().alias("is_dangling"))
+        .repartition(P, "id")
+        .persist()
+    )
+    n = node_info.count()
+    teleport = (1.0 - alpha) / n
+
+    # ---- init / resume ----
+    start_iter = 0
+    dangling_mass = None
+    metrics: list[dict] = []
+    r = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        man = _load_manifest(checkpoint_dir) if resume else None
+        if man and man.get("completed_iter", -1) >= 0 and man.get("n") == n:
+            start_iter = man["completed_iter"] + 1
+            dangling_mass = man["dangling_mass"]
+            metrics = man["iterations"]
+            snap = os.path.join(checkpoint_dir, f"iter={man['completed_iter']}")
+            r = spark.read.parquet(snap).repartition(P, "id").persist()
+            r.count()
+    if r is None:
+        r = node_info.select("id", F.lit(1.0 / n).alias("rank")).persist()
+        r.count()
+    if dangling_mass is None:
+        dangling_mass = (
+            node_info.filter("is_dangling").count() * (1.0 / n)
+            if start_iter == 0
+            else r.join(node_info.filter("is_dangling"), "id", "left_semi")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+
+    converged = False
+    delta = float("inf")
+    it = start_iter - 1
+    base_shuffle = _shuffle_totals(spark)
+
+    for it in range(start_iter, max_iter):
+        t0 = time.time()
+        ranks_src = r.select(F.col("id").alias("src"), "rank")
+
+        if salt_buckets and salt_buckets > 1:
+            # explicit skew split: partial agg on (dst, salt(src)) bounds any
+            # single reduce task to ~in_deg/S rows for hub destinations
+            partial = (
+                adj.join(ranks_src, "src")
+                .groupBy("dst", F.pmod(F.hash("src"), F.lit(salt_buckets)).alias("_salt"))
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("psum"))
+            )
+            gathered = partial.groupBy("dst").agg(F.sum("psum").alias("gathered"))
+        else:
+            gathered = (
+                adj.join(ranks_src, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("gathered"))
+            )
+
+        r_new = (
+            node_info.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                "is_dangling",
+                (
+                    F.lit(alpha)
+                    * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                    + F.lit(teleport)
+                ).alias("rank"),
+            )
+            .persist()
+        )
+
+        # one multi-aggregate pass: L1 delta + next dangling mass + Σrank
+        stats = (
+            r_new.join(r.select("id", F.col("rank").alias("old")), "id")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
+                F.sum("rank").alias("total"),
+            )
+            .collect()[0]
+        )
+        delta = float(stats["delta"])
+        dangling_mass = float(stats["dm"])
+        wall = time.time() - t0
+
+        cur_shuffle = _shuffle_totals(spark)
+        m = {
+            "iter": it,
+            "delta_l1": delta,
+            "dangling_mass": dangling_mass,
+            "sum_rank": float(stats["total"]),
+            "wall_sec": round(wall, 4),
+        }
+        if cur_shuffle and base_shuffle:
+            m["shuffle_read_bytes"] = cur_shuffle["shuffle_read_bytes"] - base_shuffle["shuffle_read_bytes"]
+            m["shuffle_write_bytes"] = cur_shuffle["shuffle_write_bytes"] - base_shuffle["shuffle_write_bytes"]
+            base_shuffle = cur_shuffle
+        metrics.append(m)
+
+        r.unpersist()
+        r = r_new.select("id", "rank")
+
+        # lineage truncation + resumable snapshot
+        last_round = delta < tol or it == max_iter - 1
+        if checkpoint_dir and (it % checkpoint_every == checkpoint_every - 1 or last_round):
+            snap = os.path.join(checkpoint_dir, f"iter={it}")
+            r.write.mode("overwrite").parquet(snap)
+            r = spark.read.parquet(snap).repartition(P, "id").persist()
+            r.count()
+            _save_manifest(
+                checkpoint_dir,
+                {
+                    "n": n,
+                    "m": num_edges,
+                    "alpha": alpha,
+                    "tol": tol,
+                    "completed_iter": it,
+                    "dangling_mass": dangling_mass,
+                    "iterations": metrics,
+                },
+            )
+        elif it % checkpoint_every == checkpoint_every - 1:
+            r = r.localCheckpoint(eager=True)
+
+        if delta < tol:
+            converged = True
+            break
+
+    # final normalization (cu:183-189)
+    total = r.agg(F.sum("rank")).collect()[0][0]
+    ranks = r.select("id", (F.col("rank") / F.lit(total)).alias("rank"))
+
+    adj.unpersist()
+    node_info.unpersist()
+    return PageRankResult(
+        ranks=ranks,
+        iterations=it + 1 if it >= 0 else 0,
+        converged=converged,
+        final_delta=delta,
+        num_nodes=n,
+        num_edges=num_edges,
+        metrics=metrics,
+    )
+
+
+def top_k(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k by rank desc (pagerank_gpu.cu:429-442). Spark plans this as
+    TakeOrderedAndProject — per-partition partial top-k, no full sort."""
+    return ranks.orderBy(F.desc("rank"), F.asc("id")).limit(k)

@@ -1,0 +1,180 @@
+"""Pure NumPy / pure-Python oracles for engine correctness tests.
+
+`pagerank_numpy` is a faithful translation of the reference CPU recurrence
+(pagerank_gpu.cu:137-191) — dangling mass from the *current* vector, L1
+convergence checked after the swap, final renormalization. The graph kernels
+(CC / LP / triangles) have no reference implementation; these oracles are
+tiny single-machine versions of the published algorithms' *semantics* (min
+component label, synchronous mode-with-min-tie-break propagation, triangle
+count), used for exact-match assertions.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import numpy as np
+
+
+def pagerank_numpy(edges, n=None, alpha=0.85, tol=1e-8, max_iter=100):
+    """edges: iterable of (src, dst) int pairs, duplicates count.
+
+    Returns (ranks ndarray normalized to sum 1, iterations_done, converged).
+    """
+    edges = list(edges)
+    if n is None:
+        n = max(max(u, v) for u, v in edges) + 1
+    outdeg = np.zeros(n, dtype=np.int64)
+    for u, _ in edges:
+        outdeg[u] += 1
+    is_dangling = outdeg == 0
+
+    src = np.array([u for u, _ in edges], dtype=np.int64)
+    dst = np.array([v for _, v in edges], dtype=np.int64)
+    w = 1.0 / outdeg[src]  # every src has outdeg >= 1 by construction
+
+    r = np.full(n, 1.0 / n)
+    teleport = (1.0 - alpha) / n
+    converged = False
+    it = -1
+    for it in range(max_iter):
+        dangling_mass = r[is_dangling].sum()
+        gathered = np.zeros(n)
+        np.add.at(gathered, dst, w * r[src])
+        r_new = alpha * (gathered + dangling_mass / n) + teleport
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        if delta < tol:
+            converged = True
+            break
+    total = r.sum()
+    if total > 0:
+        r = r / total
+    return r, it + 1, converged
+
+
+def connected_components_py(edges, nodes=None):
+    """Undirected CC; label = min node id in component. Union-find."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    for u, v in edges:
+        union(u, v)
+    universe = set(parent)
+    if nodes is not None:
+        universe |= set(nodes)
+    return {x: find(x) for x in universe}
+
+
+def label_propagation_py(edges, nodes=None, max_iter=20):
+    """Synchronous LP over the undirected graph: new label = most frequent
+    neighbor label, ties broken by min label; isolated nodes keep their own.
+    Deterministic; stops when no label changes or max_iter."""
+    adj = defaultdict(set)
+    universe = set(nodes) if nodes is not None else set()
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+        universe.add(u)
+        universe.add(v)
+    labels = {x: x for x in universe}
+    for _ in range(max_iter):
+        new = {}
+        changed = False
+        for x in universe:
+            if not adj[x]:
+                new[x] = labels[x]
+                continue
+            cnt = Counter(labels[y] for y in adj[x])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            new[x] = best
+            if best != labels[x]:
+                changed = True
+        labels = new
+        if not changed:
+            break
+    return labels
+
+
+def triangle_count_py(edges):
+    """Total triangles in the undirected simple graph (self-loops and
+    duplicate/reverse edges collapsed)."""
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)  # oriented: only higher neighbors
+    return sum(len(adj[u] & adj[v]) for u, v in und)
+
+
+def tokenize_py(text):
+    """Reference tokenizer (api/tfidf_index.py:23-28)."""
+    import re
+
+    return [t.lower() for t in re.findall(r"\b\w+\b", text, re.UNICODE)]
+
+
+def tfidf_weights_py(docs):
+    """docs: dict doc_id -> text. Returns (postings dict term->{doc: w},
+    doc_norms, idf) per api/tfidf_index.py:50-93."""
+    import math
+
+    inverted = defaultdict(dict)
+    df = Counter()
+    N = 0
+    for doc_id, text in docs.items():
+        tokens = tokenize_py(text)
+        if not tokens:
+            continue
+        N += 1
+        tf = Counter(tokens)
+        for term, freq in tf.items():
+            inverted[term][doc_id] = float(freq)
+            df[term] += 1
+    idf = {t: math.log((1 + N) / (1 + d)) + 1.0 for t, d in df.items()}
+    doc_norm_sq = defaultdict(float)
+    for term, posting in inverted.items():
+        for doc_id, tf in posting.items():
+            w = tf * idf[term]
+            posting[doc_id] = w
+            doc_norm_sq[doc_id] += w * w
+    norms = {d: (nsq ** 0.5 if nsq > 0 else 1.0) for d, nsq in doc_norm_sq.items()}
+    return inverted, norms, idf
+
+
+def tfidf_search_py(docs, query, top_k=10):
+    """Reference CPU search (api/tfidf_index.py:95-132)."""
+    import math
+
+    inverted, norms, idf = tfidf_weights_py(docs)
+    tokens = tokenize_py(query)
+    if not tokens:
+        return []
+    q_tf = Counter(tokens)
+    q_weights = {t: f * idf[t] for t, f in q_tf.items() if t in idf}
+    if not q_weights:
+        return []
+    q_norm = math.sqrt(sum(w * w for w in q_weights.values())) or 1.0
+    scores = defaultdict(float)
+    for term, q_w in q_weights.items():
+        for doc_id, d_w in inverted.get(term, {}).items():
+            scores[doc_id] += q_w * d_w
+    results = [(d, dot / (q_norm * norms.get(d, 1.0))) for d, dot in scores.items()]
+    results.sort(key=lambda x: x[1], reverse=True)
+    return results[:top_k]

@@ -1,0 +1,101 @@
+"""Extraction byte-parity + edge pipeline correctness (SURVEY §5.3).
+
+The generator plants a known token stream; the extractor must recover it
+byte-for-byte (the BASELINE.json input_hint per-row invariant). Edges derived
+by the Spark pipeline must equal the set derived independently with the pure
+functions over the generator's planted hrefs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine import datagen
+from engine.functions import htmlx, urls
+from engine.operators import graph
+
+N = 300
+SEED = 42
+
+
+def expected_edges_for(spec):
+    """Reference-semantics edge derivation from planted surviving hrefs
+    (crawler/core.py:296-310 order: urljoin+normalize, domain, scheme)."""
+    out = []
+    for href in spec["content_hrefs"]:
+        target = urls.resolve_href(spec["url"], href)
+        if not urls.is_same_domain(target, datagen.BASE_DOMAIN):
+            continue
+        if target.startswith("mailto:") or target.startswith("javascript:"):
+            continue
+        out.append((spec["url"], target))
+    return out
+
+
+def test_pure_extraction_byte_parity():
+    for i in range(N):
+        spec = datagen.page_spec(i, N, SEED)
+        text, hrefs = htmlx.extract_page(spec["html"])
+        assert text == spec["expected_text"], f"text mismatch on page {i}"
+        assert hrefs == spec["content_hrefs"], f"href mismatch on page {i}"
+
+
+def test_lang_detection_matches_column():
+    for i in range(N):
+        spec = datagen.page_spec(i, N, SEED)
+        detected = htmlx.detect_page_language(spec["html"])
+        assert detected == spec["lang"], f"lang mismatch on page {i}"
+
+
+def test_normalize_url_reference_cases():
+    nu = urls.normalize_url
+    assert nu("https://EN.Example.org/Foo/") == "https://en.example.org/Foo"
+    assert nu("https://example.org/foo#frag") == "https://example.org/foo"
+    assert nu("https://example.org") == "https://example.org/"
+    assert nu("https://example.org/") == "https://example.org/"
+    assert nu("https://example.org/a/b/") == "https://example.org/a/b"
+    # path case preserved, only host lowercased
+    assert nu("HTTPS://WWW.EXAMPLE.ORG/PaGe/1") == "https://www.example.org/PaGe/1"
+
+
+def test_spark_extraction_matches_text_column(spark):
+    pages = datagen.generate_pages_df(spark, N, SEED, partitions=4)
+    extracted = graph.extract_pages(pages)
+    joined = (
+        pages.select("url", F.col("text").alias("expected"))
+        .join(extracted.select("url", "text"), "url")
+    )
+    bad = joined.filter(F.col("expected") != F.col("text")).count()
+    assert bad == 0
+    assert joined.count() == N
+
+
+def test_spark_edges_match_pure_derivation(spark):
+    pages = datagen.generate_pages_df(spark, N, SEED, partitions=4)
+    extracted = graph.extract_pages(pages)
+    edges_url = graph.build_edges_url(extracted, base_domain=datagen.BASE_DOMAIN)
+    got = [(r.src, r.dst) for r in edges_url.collect()]
+
+    expected = []
+    for i in range(N):
+        expected.extend(expected_edges_for(datagen.page_spec(i, N, SEED)))
+
+    assert sorted(got) == sorted(expected)
+    # multiplicity is preserved (dedupe is a separate operator)
+    assert len(got) == len(expected)
+
+
+def test_dense_node_ids_deterministic_and_dense(spark):
+    pages = datagen.generate_pages_df(spark, N, SEED, partitions=4)
+    extracted = graph.extract_pages(pages)
+    edges_url = graph.build_edges_url(extracted, base_domain=datagen.BASE_DOMAIN)
+    nodes = graph.build_nodes(pages.select("url"), edges_url)
+    rows = nodes.collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(len(rows)))
+    # sorted-URL order
+    by_id = sorted(rows, key=lambda r: r.id)
+    assert [r.url for r in by_id] == sorted(r.url for r in rows)
+    # rerun gives identical assignment
+    nodes2 = graph.build_nodes(pages.select("url"), edges_url)
+    assert sorted(map(tuple, nodes.collect())) == sorted(map(tuple, nodes2.collect()))

@@ -1,0 +1,139 @@
+"""PageRank correctness: NumPy-oracle allclose(1e-6)/(1e-9), reference golden
+files, dangling handling, salted-gather equivalence, checkpoint/resume."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine.operators.pagerank import pagerank, top_k
+from engine.sources.edges import (
+    format_topk_report,
+    num_nodes_from_edges,
+    parse_topk_report,
+    read_edge_text,
+)
+from oracle import pagerank_numpy
+
+REF_1K = "/root/reference/backend/data/random_1k_10k.txt"
+GOLDEN_1K = "/root/reference/backend/output_1k.txt"
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, schema="src long, dst long")
+
+
+def _ranks_array(result, n):
+    r = np.zeros(n)
+    for row in result.ranks.collect():
+        r[row.id] = row.rank
+    return r
+
+
+def _load_edges(path):
+    out = []
+    for line in open(path):
+        p = line.split()
+        if len(p) == 2:
+            out.append((int(p[0]), int(p[1])))
+    return out
+
+
+def test_small_graph_matches_oracle(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (3, 2), (0, 2), (4, 0)]
+    # node 5 exists only via max-id? no — add an edge to 5 so it's dangling
+    edges.append((2, 5))
+    df = _edges_df(spark, edges)
+    res = pagerank(df, tol=1e-10, max_iter=200)
+    expected, iters, conv = pagerank_numpy(edges, tol=1e-10, max_iter=200)
+    got = _ranks_array(res, 6)
+    assert res.converged and conv
+    assert np.allclose(got, expected, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_duplicate_edges_count_with_multiplicity(spark):
+    edges = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0)]
+    df = _edges_df(spark, edges)
+    res = pagerank(df, tol=1e-12, max_iter=300)
+    expected, _, _ = pagerank_numpy(edges, tol=1e-12, max_iter=300)
+    assert np.allclose(_ranks_array(res, 3), expected, atol=1e-10)
+
+
+def test_all_dangling_except_one(spark):
+    edges = [(0, 1), (0, 2), (0, 3)]
+    df = _edges_df(spark, edges)
+    res = pagerank(df, tol=1e-12, max_iter=300)
+    expected, _, _ = pagerank_numpy(edges, tol=1e-12, max_iter=300)
+    assert np.allclose(_ranks_array(res, 4), expected, atol=1e-10)
+
+
+def test_golden_1k_parity(spark):
+    """Engine reproduces the reference's committed output_1k.txt top-10
+    (params pagerank_gpu defaults: alpha=0.85 tol=1e-8 max_iter=100)."""
+    edges_df = read_edge_text(spark, REF_1K)
+    n = num_nodes_from_edges(edges_df)
+    assert n == 1000
+    res = pagerank(edges_df, alpha=0.85, tol=1e-8, max_iter=100)
+    got = {row.id: row.rank for row in top_k(res.ranks, 10).collect()}
+
+    golden = [
+        (int(m.group(1)), float(m.group(2)))
+        for m in re.finditer(r"node\s+(\d+)\s*:\s*([0-9.eE+-]+)", open(GOLDEN_1K).read())
+    ]
+    assert len(golden) == 10
+    for gid, gscore in golden:
+        assert gid in got
+        assert abs(got[gid] - gscore) < 5e-10
+
+    # byte-format round trip (S5/S6)
+    rows = sorted(got.items(), key=lambda kv: (-kv[1], kv[0]))
+    report = format_topk_report(1000, res.num_edges, 0, rows)
+    assert re.search(r"  node \d+ : 0\.\d{10}", report)
+
+
+def test_salted_gather_equivalent(spark):
+    edges = _load_edges(REF_1K)[:4000]
+    df = _edges_df(spark, edges)
+    plain = pagerank(df, tol=1e-10, max_iter=50)
+    salted = pagerank(df, tol=1e-10, max_iter=50, salt_buckets=8)
+    n = plain.num_nodes
+    assert np.allclose(_ranks_array(plain, n), _ranks_array(salted, n), atol=1e-12)
+    assert plain.iterations == salted.iterations
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    edges = _load_edges(REF_1K)[:3000]
+    df = _edges_df(spark, edges)
+    full = pagerank(df, tol=1e-10, max_iter=40, checkpoint_every=4)
+
+    ck = str(tmp_path / "ck")
+    partial = pagerank(df, tol=1e-10, max_iter=7, checkpoint_dir=ck, checkpoint_every=3)
+    assert not partial.converged
+    resumed = pagerank(df, tol=1e-10, max_iter=40, checkpoint_dir=ck, checkpoint_every=3)
+    assert resumed.metrics[0]["iter"] == 0  # manifest carries full history
+    assert resumed.iterations == full.iterations
+    n = full.num_nodes
+    assert np.allclose(_ranks_array(resumed, n), _ranks_array(full, n), atol=1e-12)
+
+
+def test_iteration_metrics_recorded(spark):
+    edges = _load_edges(REF_1K)[:2000]
+    res = pagerank(_edges_df(spark, edges), tol=1e-8, max_iter=60)
+    assert res.converged
+    assert len(res.metrics) == res.iterations
+    deltas = [m["delta_l1"] for m in res.metrics]
+    assert deltas[-1] < 1e-8
+    # Σ rank stays ≈1 every iteration before final normalization
+    for m in res.metrics:
+        assert abs(m["sum_rank"] - 1.0) < 1e-6
+
+
+def test_parse_topk_report_scan(spark):
+    df = parse_topk_report(spark, GOLDEN_1K)
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[542] == pytest.approx(0.0026460511, abs=1e-12)
+    assert len(rows) == 10
