@@ -1,0 +1,103 @@
+"""Connected components: large-star / small-star alternation.
+
+Implementation of the published MapReduce CC algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", the alternating variant) as
+pure DataFrame rounds — no reference implementation exists (SURVEY §7 Phase 3);
+the oracle is a union-find in tests/oracle.py. Converges in O(log n) rounds to
+a star forest rooted at each component's minimum node id; the returned label
+is that minimum (exact-match contract of BASELINE.json).
+
+Each round is two join+min-aggregate passes over the edge set; convergence is
+an exact set-equality check (count equality + one anti-join), no hashing
+shortcuts. Edge sets are kept in canonical (big, small) orientation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """(src,dst) -> undirected canonical pairs (b > s), self-loops dropped."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("b"),
+            F.least("src", "dst").alias("s"),
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every node a: m = min(Γ(a) ∪ {a}); emit (v, m) for v ∈ Γ(a), v > a."""
+    sym = e.select(F.col("b").alias("a"), F.col("s").alias("n")).union(
+        e.select(F.col("s").alias("a"), F.col("b").alias("n"))
+    )
+    m = sym.groupBy("a").agg(F.least(F.min("n"), F.first("a")).alias("m"))
+    return (
+        sym.join(m, "a")
+        .filter(F.col("n") > F.col("a"))
+        .select(F.col("n").alias("b"), F.col("m").alias("s"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Group by the larger endpoint: m = min of its smaller neighbors; emit
+    (small_i, m) for every small plus (big, m); drop self-pairs."""
+    m = e.groupBy("b").agg(F.min("s").alias("m"))
+    with_m = e.join(m, "b")
+    out = with_m.select(F.col("s").alias("b"), F.col("m").alias("s")).union(
+        m.select(F.col("b").alias("b"), F.col("m").alias("s"))
+    )
+    return out.filter(F.col("b") != F.col("s")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Returns (id BIGINT, label BIGINT), label = min node id in component.
+
+    nodes: optional single-column (id) universe; isolated nodes label
+    themselves. Default universe = edge endpoints.
+    """
+    spark = edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = _canonical(edges).repartition(P, "b").persist()
+    n_edges = e.count()
+
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    nodes = nodes.select("id").persist()
+
+    if n_edges == 0:
+        return nodes.select("id", F.col("id").alias("label"))
+
+    for _ in range(max_rounds):
+        e_new = _small_star(_large_star(e)).repartition(P, "b").persist()
+        cnt_new = e_new.count()
+        # exact convergence: same cardinality and E_new ⊆ E  ⇒  E_new == E
+        stable = cnt_new == n_edges and e_new.join(
+            e, ["b", "s"], "left_anti"
+        ).count() == 0
+        e.unpersist()
+        e, n_edges = e_new, cnt_new
+        # truncate lineage each round (the edge set is small after a few rounds)
+        e = e.localCheckpoint(eager=True)
+        if stable:
+            break
+
+    # converged star forest: (b=node, s=root). Roots/isolated label themselves.
+    labels = nodes.join(
+        e.select(F.col("b").alias("id"), F.col("s").alias("label")), "id", "left"
+    ).select("id", F.coalesce("label", "id").alias("label"))
+    return labels

@@ -1,0 +1,107 @@
+"""CC / LP / triangle kernels vs pure-Python oracles (exact match)."""
+
+from __future__ import annotations
+
+import random
+
+from engine.operators.components import connected_components
+from engine.operators.labelprop import label_propagation
+from engine.operators.triangles import triangle_count, triangles_per_vertex
+from oracle import connected_components_py, label_propagation_py, triangle_count_py
+
+REF_1K = "/root/reference/backend/data/random_1k_10k.txt"
+
+
+def _load_edges(path, limit=None):
+    out = []
+    for line in open(path):
+        p = line.split()
+        if len(p) == 2:
+            out.append((int(p[0]), int(p[1])))
+    return out[:limit] if limit else out
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, schema="src long, dst long")
+
+
+def _sparse_graph(n=400, m=500, seed=7):
+    rng = random.Random(seed)
+    edges = []
+    for _ in range(m):
+        u = rng.randrange(n)
+        v = rng.randrange(n)
+        edges.append((u, v))
+    return edges
+
+
+def test_cc_small_exact(spark):
+    edges = [(0, 1), (1, 2), (3, 4), (5, 5), (6, 3), (9, 8)]
+    nodes = spark.range(0, 11).selectExpr("id")
+    got = {r.id: r.label for r in connected_components(_edges_df(spark, edges), nodes).collect()}
+    exp = connected_components_py(edges, nodes=range(11))
+    assert got == exp
+    assert got[7] == 7  # isolated
+    assert got[5] == 5  # self-loop only
+
+
+def test_cc_sparse_many_components(spark):
+    edges = _sparse_graph()
+    got = {r.id: r.label for r in connected_components(_edges_df(spark, edges)).collect()}
+    exp = connected_components_py(edges)
+    assert got == exp
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    # long path graph stresses the O(log n) alternation
+    edges = [(i, i + 1) for i in range(200)]
+    got = {r.id: r.label for r in connected_components(_edges_df(spark, edges)).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
+def test_lp_exact_match_oracle(spark):
+    edges = _sparse_graph(n=150, m=200, seed=11)
+    got = {r.id: r.label for r in label_propagation(_edges_df(spark, edges), max_iter=10).collect()}
+    exp = label_propagation_py(edges, max_iter=10)
+    assert got == exp
+
+
+def test_lp_two_cliques(spark):
+    clique1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    bridge = [(4, 10)]
+    edges = clique1 + clique2 + bridge
+    got = {r.id: r.label for r in label_propagation(_edges_df(spark, edges), max_iter=15).collect()}
+    exp = label_propagation_py(edges, max_iter=15)
+    assert got == exp
+
+
+def test_triangles_known(spark):
+    # two triangles sharing an edge: (0,1,2) and (1,2,3)
+    edges = [(0, 1), (1, 2), (2, 0), (1, 3), (3, 2)]
+    got = triangle_count(_edges_df(spark, edges)).collect()[0].triangles
+    assert got == 2
+    pv = {r.id: r.triangles for r in triangles_per_vertex(_edges_df(spark, edges)).collect()}
+    assert pv == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_triangles_duplicates_and_direction_collapse(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2)]
+    got = triangle_count(_edges_df(spark, edges)).collect()[0].triangles
+    assert got == triangle_count_py(edges) == 1
+
+
+def test_triangles_reference_1k_graph(spark):
+    edges = _load_edges(REF_1K)
+    got = triangle_count(_edges_df(spark, edges)).collect()[0].triangles
+    exp = triangle_count_py(edges)
+    assert got == exp
+    assert exp > 0
+
+
+def test_cc_reference_1k_graph(spark):
+    edges = _load_edges(REF_1K, limit=1500)
+    got = {r.id: r.label for r in connected_components(_edges_df(spark, edges)).collect()}
+    exp = connected_components_py(edges)
+    assert got == exp
