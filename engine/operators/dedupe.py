@@ -1,0 +1,284 @@
+"""Deduplication operators: exact, argmax-per-key, MinHash-LSH, SimHash,
+token-set Jaccard.
+
+Exact/argmax variants mirror the reference's dedupes (api/build_corpus.py:82-93
+edge 'seen' set → distinct; api/main.py:67-83 keep-longest-text;
+api/main.py:104-114 keep-max-score). The near-dup family (MinHash+LSH banding,
+SimHash hamming, token Jaccard) is the standard training-data-pipeline
+extension (no reference impl): everything is pure Catalyst — shingling via
+higher-order array functions, hashing via xxhash64, banding via self-joins —
+so the whole path is JVM-side and shuffle-bound, not Python-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from engine.operators.tfidf import tokenize_col
+
+
+# ---------------------------------------------------------------- exact / argmax
+
+def dedupe_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """DISTINCT on the given columns (partial-hash-agg dedupe) — A6."""
+    return df.select(*cols).distinct() if cols else df.distinct()
+
+
+def dedupe_exact_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id doc per exact text value (hash-groupBy on the text —
+    at scale, group on md5(text) so shuffle keys stay small)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col).cast("binary")).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+        .join(docs, id_col)
+    )
+
+
+def keep_longest_text(pages: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Per key, keep the row with the longest text (api/main.py:67-83).
+    max_by(struct) — single hash aggregate, no window sort."""
+    cols = [c for c in pages.columns]
+    return (
+        pages.groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(F.length(text_col).alias("_len"), *[F.col(c) for c in cols if c != key_col])
+            ).alias("_best")
+        )
+        .select(key_col, *[F.col(f"_best.{c}") for c in cols if c != key_col])
+    )
+
+
+def keep_max_score(scores: DataFrame, key_col: str = "url", score_col: str = "score") -> DataFrame:
+    """Per key, keep the max score (api/main.py:104-114)."""
+    return scores.groupBy(key_col).agg(F.max(score_col).alias(score_col))
+
+
+# ---------------------------------------------------------------- shingling
+
+def word_shingles_col(text_col, n: int = 3):
+    """Array of word n-gram shingles (space-joined), pure Catalyst."""
+    toks = tokenize_col(text_col)
+    return F.when(F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return (
+        docs.select(F.col(id_col).alias("doc"), word_shingles_col(F.col(text_col), n).alias("sh"))
+        .select("doc", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- token jaccard
+
+def token_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over all pairs sharing ≥1 shingle.
+
+    Blocking on shared shingles means disjoint pairs are never materialized;
+    at scale add a df-based frequent-shingle cutoff. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, mh0..mh{k-1}): k independent min-hashes, hash_j(s) =
+    xxhash64(j, s). One exploded pass, one grouped multi-aggregate."""
+    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature into `bands` groups of r = k/bands rows; docs
+    sharing any band bucket are candidates. Returns distinct (id_a, id_b)."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes
+    pieces = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + i}") for i in range(r)]
+        pieces.append(
+            signatures.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.union(p)
+    left = banded.select("band", "bucket", F.col("doc").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("doc").alias("id_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedupe_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: candidates from banding, then exact
+    Jaccard verification over shingle sets. Returns (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    cand = minhash_lsh_candidates(sigs, num_hashes, bands)
+    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc").alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster verified near-dup pairs with the CC kernel (components.py) and
+    keep only the min-id representative of each cluster."""
+    from engine.operators.components import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(edges, nodes=docs.select(F.col(id_col).alias("id")))
+    keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, simhash BIGINT): 64-bit SimHash over tf-weighted tokens.
+
+    Per bit i: s_i = Σ_terms tf · (bit_i(xxhash64(term)) ? +1 : -1);
+    fingerprint bit i set iff s_i > 0. 64 sum-aggregates in one hash agg —
+    all codegen'd, no Python."""
+    tf = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(tokenize_col(F.col(text_col))).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    sums = tf.groupBy("doc").agg(*aggs)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return sums.select("doc", fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into `chunks` 16-bit pieces; any pair
+    within distance < chunks must share a piece — candidates come from
+    equi-joins on (chunk_idx, chunk_value), then exact bit_count verify."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = []
+    for c in range(chunks):
+        pieces.append(
+            fingerprints.select(
+                F.col("doc"),
+                F.col("simhash"),
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("piece"),
+            )
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.union(p)
+    left = banded.select("chunk", "piece", F.col("doc").alias("id_a"), F.col("simhash").alias("fa"))
+    right = banded.select("chunk", "piece", F.col("doc").alias("id_b"), F.col("simhash").alias("fb"))
+    return (
+        left.join(right, ["chunk", "piece"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

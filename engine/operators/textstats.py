@@ -1,0 +1,110 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure Catalyst expressions (no UDFs) so they run inside whole-stage
+codegen over the documents table. Training-data extension ops (no reference
+impl; the tokenizer matches api/tfidf_index.py:23-28 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from engine.operators.tfidf import tokenize_col
+
+# tiny deterministic stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "on", "at", "this"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht", "ein", "eine", "auf", "für", "im"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans", "que", "pour", "sur", "avec", "pas"],
+}
+_LANG_ORDER = ("en", "de", "fr")  # deterministic tie-break order
+
+
+def token_count_ws(text_col):
+    """Whitespace token count."""
+    t = F.trim(text_col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_re(text_col):
+    """\\w+ token count (BPE-ish regex proxy; matches the TF-IDF tokenizer)."""
+    return F.size(tokenize_col(text_col))
+
+
+def add_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("n_tokens_ws", token_count_ws(F.col(text_col))).withColumn(
+        "n_tokens_re", token_count_re(F.col(text_col))
+    )
+
+
+def quality_score_col(text_col):
+    """Heuristic quality in [0,1] from: length band, alnum ratio,
+    mean word length band, stopword ratio. Deterministic, codegen-friendly."""
+    n_chars = F.length(text_col)
+    toks = tokenize_col(text_col)
+    n_tok = F.size(toks)
+    alnum = F.length(F.regexp_replace(text_col, r"[^\p{L}\p{N}]", ""))
+    alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_tok > 0, alnum / n_tok).otherwise(F.lit(0.0))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    len_band = F.when(n_chars >= 200, 1.0).when(n_chars >= 50, 0.6).otherwise(0.2)
+    wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), 1.0).otherwise(0.4)
+    sw_band = F.when(sw_hits >= 3, 1.0).when(sw_hits >= 1, 0.6).otherwise(0.3)
+    return (
+        F.lit(0.3) * len_band
+        + F.lit(0.25) * F.least(alnum_ratio * 1.25, F.lit(1.0))
+        + F.lit(0.2) * wl_band
+        + F.lit(0.25) * sw_band
+    ).alias("quality")
+
+
+def add_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("quality", quality_score_col(F.col(text_col)))
+
+
+def langid_col(text_col):
+    """Stopword-hit language heuristic: distinct tokens ∩ per-language
+    stopword lists; argmax hits with deterministic en>de>fr tie order;
+    'und' (undetermined) when nothing hits."""
+    toks = F.array_distinct(tokenize_col(text_col))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array([F.lit(w) for w in STOPWORDS[lang]])))
+        for lang in _LANG_ORDER
+    }
+    best = F.greatest(*[hits[lang] for lang in _LANG_ORDER])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr
+
+
+def add_langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("lang_pred", langid_col(F.col(text_col)))
+
+
+def fingerprint_md5_col(text_col):
+    """Stable content fingerprint: md5 of whitespace-collapsed lowercase text
+    (normalization per crawler/core.py:157 then case-fold)."""
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    return F.md5(norm.cast("binary"))
+
+
+def fingerprint_rolling_col(text_col, base: int = 1000003, mod: int = 2147483647):
+    """Order-sensitive rolling token hash: fold xxhash64(token) through a
+    polynomial accumulator mod a Mersenne prime (aggregate higher-order
+    function, JVM-side; modular form keeps ANSI-mode long arithmetic exact:
+    acc<2^31, base<2^20 → acc*base+h' < 2^52)."""
+    toks = tokenize_col(text_col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(base) + F.pmod(F.xxhash64(t), F.lit(mod)), F.lit(mod)),
+    )
+
+
+def add_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("fp_md5", fingerprint_md5_col(F.col(text_col))).withColumn(
+        "fp_rolling", fingerprint_rolling_col(F.col(text_col))
+    )

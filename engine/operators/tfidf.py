@@ -1,0 +1,170 @@
+"""TF-IDF postings, cosine search, and the combined TF-IDF+PageRank score.
+
+DataFrame re-expression of the reference index (api/tfidf_index.py:34-132)
+and search endpoint (api/main.py:367-419):
+
+- tokenize: \\b\\w+\\b findall + lowercase (tfidf_index.py:23-28) — pure
+  Catalyst (`regexp_extract_all`), no UDF.
+- postings: tf per (url, term) → idf = ln((1+N)/(1+df)) + 1 → w = tf·idf
+  (tfidf_index.py:59-89); doc norms ‖d‖ = sqrt(Σ w²) (:79-93).
+- search: postings filtered to query terms (the inverted-index lookup is
+  predicate pushdown), Σ q_w·d_w per doc / (‖q‖·‖d‖) (:115-129), top-k.
+- combined score 0.8·tfidf + 0.2·minmax(pr) with missing PR → 0
+  (api/main.py:385-398), over-fetch 3k before re-rank (:385,412-413).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# maximal \w+ runs == \b\w+\b findall; (?U) switches Java regex \w to the
+# Unicode character class, matching Python's re.UNICODE behavior
+TOKEN_PATTERN = r"(?U)\w+"
+
+
+def tokenize_col(text_col):
+    """ArrayType(String) of lowercase tokens — reference tokenizer semantics."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN), 0)
+
+
+def build_postings(docs: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """(id, text, ...) -> postings (url, term, w DOUBLE). Docs with zero
+    tokens are skipped entirely (tfidf_index.py:52-54: they don't increment
+    N either)."""
+    postings, _, _ = build_postings_with_idf(docs, id_col, text_col)
+    return postings
+
+
+def doc_norms(postings: DataFrame) -> DataFrame:
+    """(url, norm): ‖d‖ = sqrt(Σ w²) (tfidf_index.py:79-93)."""
+    return postings.groupBy("url").agg(F.sqrt(F.sum(F.pow("w", 2))).alias("norm"))
+
+
+def build_postings_with_idf(docs: DataFrame, id_col: str = "url", text_col: str = "text"):
+    """Returns (postings, idf DataFrame (term, idf), n_docs)."""
+    toks = docs.select(
+        F.col(id_col).alias("url"), tokenize_col(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    n_docs = toks.count()
+    tf = (
+        toks.select("url", F.explode("toks").alias("term"))
+        .groupBy("url", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "term", (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0).alias("idf")
+    )
+    postings = tf.join(idf, "term").select(
+        "url", "term", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    return postings, idf, n_docs
+
+
+def search(
+    postings: DataFrame,
+    idf: DataFrame,
+    query: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Cosine TF-IDF search (tfidf_index.py:95-132). Returns
+    (url, tfidf_score) top-k desc. Query weighting happens driver-side (a
+    query is a handful of terms); the doc side is fully distributed — the
+    IN-list on term is pushed to the postings scan."""
+    import re as _re
+
+    tokens = [t.lower() for t in _re.findall(r"\b\w+\b", query)]
+    if not tokens:
+        return postings.sparkSession.createDataFrame([], "url string, tfidf_score double")
+    q_tf = Counter(tokens)
+    idf_map = {
+        r.term: r.idf
+        for r in idf.filter(F.col("term").isin(list(q_tf.keys()))).collect()
+    }
+    q_weights = {t: f * idf_map[t] for t, f in q_tf.items() if t in idf_map}
+    if not q_weights:
+        return postings.sparkSession.createDataFrame([], "url string, tfidf_score double")
+    q_norm = math.sqrt(sum(w * w for w in q_weights.values())) or 1.0
+
+    qdf = postings.sparkSession.createDataFrame(
+        [(t, w) for t, w in q_weights.items()], "term string, qw double"
+    )
+    norms = doc_norms(postings)
+    scored = (
+        postings.join(F.broadcast(qdf), "term")
+        .groupBy("url")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+        .join(norms, "url")
+        .select(
+            "url", (F.col("dot") / (F.lit(q_norm) * F.col("norm"))).alias("tfidf_score")
+        )
+    )
+    return scored.orderBy(F.desc("tfidf_score"), F.asc("url")).limit(top_k)
+
+
+def minmax_normalize(scores: DataFrame, col: str = "score") -> DataFrame:
+    """(url, score) -> (url, score, score_norm) min-max normalized to [0,1]
+    (api/main.py:116-127; span 1.0 when max==min)."""
+    stats = scores.agg(
+        F.min(col).alias("mn"), F.max(col).alias("mx")
+    ).collect()[0]
+    span = (stats.mx - stats.mn) if (stats.mx is not None and stats.mx > stats.mn) else 1.0
+    mn = stats.mn if stats.mn is not None else 0.0
+    return scores.withColumn("score_norm", (F.col(col) - F.lit(mn)) / F.lit(span))
+
+
+def combined_search(
+    postings: DataFrame,
+    idf: DataFrame,
+    pagerank_scores: DataFrame,
+    query: str,
+    top_k: int = 10,
+    tfidf_weight: float = 0.8,
+    pr_weight: float = 0.2,
+) -> DataFrame:
+    """The reference /api/search ranking (api/main.py:367-413): over-fetch
+    3·k TF-IDF hits, left-join min-max-normalized PageRank (missing → 0.0,
+    main.py:396-397), combined = 0.8·tfidf + 0.2·pr_norm, re-rank, cut to k.
+
+    pagerank_scores: (url, score). Returns
+    (url, tfidf_score, pagerank_norm, combined_score)."""
+    hits = search(postings, idf, query, top_k=top_k * 3)
+    pr_norm = minmax_normalize(pagerank_scores, "score").select(
+        "url", F.col("score_norm").alias("pagerank_norm")
+    )
+    out = (
+        hits.join(pr_norm, "url", "left")
+        .select(
+            "url",
+            "tfidf_score",
+            F.coalesce("pagerank_norm", F.lit(0.0)).alias("pagerank_norm"),
+        )
+        .withColumn(
+            "combined_score",
+            F.lit(tfidf_weight) * F.col("tfidf_score")
+            + F.lit(pr_weight) * F.col("pagerank_norm"),
+        )
+    )
+    return out.orderBy(F.desc("combined_score"), F.asc("url")).limit(top_k)
+
+
+def snippet_col(text_col, term: str, window: int = 80):
+    """Snippet around the first case-insensitive hit of `term`
+    (api/main.py:332-362 shape): substring window with ellipses."""
+    pos = F.locate(term.lower(), F.lower(text_col))
+    start = F.greatest(pos - F.lit(window // 2), F.lit(1))
+    return F.when(pos > 0, F.concat(F.lit("…"), F.substring(text_col, start.cast("int"), window), F.lit("…"))).otherwise(
+        F.substring(text_col, 1, window)
+    )
+
+
+def rank_index(scores: DataFrame, score_col: str = "score") -> DataFrame:
+    """rank = i+1 in score-desc order (api/main.py:281-291, T5).
+    Note: a global row_number is a single-partition window — fine for top-k
+    result sets (its only use in the reference), not for full tables."""
+    w = Window.orderBy(F.desc(score_col))
+    return scores.withColumn("rank", F.row_number().over(w))

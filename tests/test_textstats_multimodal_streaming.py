@@ -1,0 +1,124 @@
+"""Text analysis, multimodal plumbing, and streaming window ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.operators import multimodal, textstats
+from engine.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world  foo",), ("",), ("a-b c",)], "text string"
+    )
+    got = textstats.add_token_counts(df).collect()
+    assert [(r.n_tokens_ws, r.n_tokens_re) for r in got] == [(3, 3), (0, 0), (2, 3)]
+
+
+def test_langid_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it was happy for this day",),
+            ("der hund und die katze sind nicht zu hause mit den kindern",),
+            ("le chat est dans la maison avec les enfants pour une heure",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r.lang_pred for r in textstats.add_langid(df).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_and_fingerprints(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and keeps running for a while longer in the field today. " * 3),
+            (2, "!!! ??? ###"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r.quality for r in textstats.add_quality(df).collect()}
+    assert q[1] > 0.8 and q[2] < 0.4
+
+    fp = textstats.add_fingerprints(df)
+    rows = {r.doc_id: (r.fp_md5, r.fp_rolling) for r in fp.collect()}
+    assert rows[1][0] != rows[2][0]
+    # whitespace-normalization invariance of the md5 fingerprint
+    df2 = spark.createDataFrame([(1, "  !!!   ???\n###  ")], "doc_id long, text string")
+    fp2 = textstats.add_fingerprints(df2).collect()[0]
+    assert fp2.fp_md5 == rows[2][0]
+
+
+def test_langid_on_documents_table_deterministic(spark):
+    # the testdata's lang labels are synthetic (text vocabulary is English
+    # regardless of label), so assert determinism + valid codes, not agreement
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p1 = {r.doc_id: r.lang_pred for r in textstats.add_langid(docs).collect()}
+    p2 = {r.doc_id: r.lang_pred for r in textstats.add_langid(docs).collect()}
+    assert p1 == p2
+    assert set(p1.values()) <= {"en", "de", "fr", "und"}
+
+
+def test_binary_byte_stats(spark):
+    df = spark.createDataFrame(
+        [(1, bytes([0] * 50)), (2, bytes(range(256))), (3, b"")],
+        "id long, media binary",
+    )
+    got = {r.id: r for r in multimodal.binary_byte_stats(df).collect()}
+    assert got[1].n_bytes == 50 and got[1].n_distinct == 1 and got[1].entropy == 0.0
+    assert got[2].n_distinct == 256 and got[2].entropy == pytest.approx(8.0)
+    assert got[3].n_bytes == 0
+    assert got[2].head_hex == "0001020304050607"
+
+
+def test_media_metadata_sniff(spark):
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0rest"), (2, b"\x89PNG\r\n"), (3, b"plain")],
+        "id long, media binary",
+    )
+    got = {r.id: r.media_kind for r in multimodal.media_metadata(df).collect()}
+    assert got == {1: "jpeg", 2: "png", 3: "unknown"}
+
+
+def test_decode_stub_and_fake(spark):
+    df = spark.createDataFrame([(1, b"abcdef")], "id long, media binary")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.decode_image_features(df).collect()
+    got = multimodal.decode_image_features(df, decoder=multimodal.fake_decoder).collect()[0]
+    assert (got.height, got.width) == (8, 8)
+    assert got.mean_px > 0
+
+
+def test_windowed_event_counts_batch_vs_stream(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    batch = ev.windowed_event_counts(events, window="1 day")
+    b = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert len(b) > 0
+
+    stream = ev.read_event_stream(spark, f"{SF}/events.parquet")
+    sres = ev.run_stream_to_memory(
+        ev.windowed_event_counts(stream, window="1 day"), "win_counts", spark
+    )
+    s = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in sres.collect()}
+    assert s == b  # streaming availableNow == batch semantics
+
+
+def test_session_window_counts(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "c", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 7, "c", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=2), 7, "c", 1.0, "{}"),
+        (4, t0, 8, "c", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, ev.EVENTS_SCHEMA)
+    got = {(r.user_id, r.session_start): r.n_events for r in ev.user_session_counts(df).collect()}
+    assert got[(7, t0)] == 2
+    assert got[(7, t0 + dt.timedelta(hours=2))] == 1
+    assert got[(8, t0)] == 1

@@ -1,0 +1,91 @@
+"""TF-IDF pipeline vs the pure-Python reference-port oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.operators import tfidf
+from oracle import tfidf_search_py, tfidf_weights_py, tokenize_py
+
+DOCS = {
+    "u1": "PageRank ranks web pages by link structure. Links matter!",
+    "u2": "TF-IDF weighs terms by inverse document frequency across pages.",
+    "u3": "Spark shuffles data between stages; pages of memory spill to disk.",
+    "u4": "the the the and and of",
+    "u5": "",  # zero tokens: skipped entirely, doesn't increment N
+    "u6": "Völlig unterschiedlicher Text über Suchmaschinen und Ränge.",
+}
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(k, v) for k, v in DOCS.items()], "url string, text string"
+    )
+
+
+def test_tokenizer_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in DOCS.values()], "text string")
+    got = [r[0] for r in df.select(tfidf.tokenize_col(F.col("text"))).collect()]
+    exp = [tokenize_py(t) for t in DOCS.values()]
+    assert got == exp
+
+
+def test_postings_match_oracle(docs_df):
+    postings, idf, n = tfidf.build_postings_with_idf(docs_df)
+    assert n == 5  # u5 skipped
+    got = {(r.url, r.term): r.w for r in postings.collect()}
+    inv, norms, _ = tfidf_weights_py(DOCS)
+    exp = {(doc, term): w for term, posting in inv.items() for doc, w in posting.items()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], rel=1e-12)
+
+    got_norms = {r.url: r.norm for r in tfidf.doc_norms(postings).collect()}
+    for doc, nv in norms.items():
+        assert got_norms[doc] == pytest.approx(nv, rel=1e-12)
+
+
+def test_search_matches_oracle(docs_df):
+    postings, idf, _ = tfidf.build_postings_with_idf(docs_df)
+    for query in ["pages", "link structure pages", "inverse frequency", "zzz missing"]:
+        got = [(r.url, r.tfidf_score) for r in tfidf.search(postings, idf, query, top_k=4).collect()]
+        exp = tfidf_search_py(DOCS, query, top_k=4)
+        assert len(got) == len(exp)
+        # compare as score maps (oracle sort is not id-tie-stable)
+        gm, em = dict(got), dict(exp)
+        assert set(gm) == set(em)
+        for kk in gm:
+            assert gm[kk] == pytest.approx(em[kk], rel=1e-9)
+
+
+def test_combined_search_weighting(docs_df, spark):
+    postings, idf, _ = tfidf.build_postings_with_idf(docs_df)
+    pr = spark.createDataFrame(
+        [("u1", 0.5), ("u2", 0.3), ("u3", 0.2)], "url string, score double"
+    )
+    res = tfidf.combined_search(postings, idf, pr, "pages", top_k=3).collect()
+    assert len(res) == 3
+    for r in res:
+        # min-max norm: u1 -> 1.0, u2 -> 1/3, u3 -> 0.0
+        expected_norm = {"u1": 1.0, "u2": pytest.approx(1 / 3), "u3": 0.0}[r.url]
+        assert r.pagerank_norm == expected_norm
+        assert r.combined_score == pytest.approx(0.8 * r.tfidf_score + 0.2 * r.pagerank_norm)
+    # desc order
+    scores = [r.combined_score for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_minmax_norm_degenerate(spark):
+    one = spark.createDataFrame([("a", 0.7)], "url string, score double")
+    got = tfidf.minmax_normalize(one).collect()[0]
+    assert got.score_norm == 0.0  # span defaults to 1.0 (api/main.py:121)
+
+
+def test_rank_index(spark):
+    df = spark.createDataFrame(
+        [("a", 3.0), ("b", 1.0), ("c", 2.0)], "url string, score double"
+    )
+    got = {r.url: r.rank for r in tfidf.rank_index(df).collect()}
+    assert got == {"a": 1, "c": 2, "b": 3}
