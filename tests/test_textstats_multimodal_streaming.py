@@ -99,7 +99,10 @@ def test_windowed_event_counts_batch_vs_stream(spark, tmp_path):
     b = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
     assert len(b) > 0
 
-    stream = ev.read_event_stream(spark, f"{SF}/events.parquet")
+    # file streams need a directory source
+    stream_dir = str(tmp_path / "events_stream")
+    events.repartition(3).write.parquet(stream_dir)
+    stream = ev.read_event_stream(spark, stream_dir)
     sres = ev.run_stream_to_memory(
         ev.windowed_event_counts(stream, window="1 day"), "win_counts", spark
     )
