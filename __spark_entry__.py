@@ -1,38 +1,655 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full PageRank over an edge table derived from the
+                 sf0.001 lineitem parquet (dangling-mass recurrence of
+                 reference backend/cuda/pagerank_gpu.cu:137-191).
+queries()      — one entry per implemented operator family from SURVEY.md §2
+                 plus the training-data ops, each runnable at any sf dir.
+oracle_sql()   — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+
+Cross-engine float policy: any aggregated double is computed as an exact
+DECIMAL(18,6) sum cast back to double on BOTH sides (bit-identical), and any
+scalar math output is rounded to 6 dp on both sides (1-ulp libm differences
+vanish). Counts are cast to BIGINT on both sides.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+_SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic edge table derived from lineitem (the driver
+    testdata has no graph, so both engines derive the same one)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % 997).alias("src"), (F.col("l_partkey") % 997).alias("dst")
+    )
+
+
+_EDGES_SQL = "SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst FROM lineitem"
+
+
+def _dsum(col, alias):
+    """Exact decimal sum cast back to double — bit-identical across engines."""
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: damped power-iteration PageRank (alpha=.85, dangling-mass
+    redistribution, L1 tol 1e-8) over the derived edge table at sf0.001;
+    returns the full (id, rank) vector (Σ=1)."""
+    from engine.operators.pagerank import pagerank
 
+    res = pagerank(_edges(spark, _SF_DEFAULT), tol=1e-8, max_iter=100)
+    return res.ranks
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from engine.operators import dedupe, graph, similarity, textstats, tfidf
+    from engine.operators.components import connected_components
+    from engine.operators.labelprop import label_propagation
+    from engine.operators.pagerank import pagerank
+    from engine.operators.triangles import triangle_count
+    from engine.streaming import events as ev
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def a1_out_degree(spark, sf):
+        return graph.out_degrees(_edges(spark, sf))
 
+    def a2_dangling_nodes(spark, sf):
+        # universe = src ∪ dst here (the library default 0..max matches the
+        # reference; DuckDB can't parameterize generate_series for the oracle)
+        li = _t(spark, sf, "lineitem")
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"), (F.col("l_partkey") % 1499).alias("dst")
+        )
+        nodes = e.select(F.col("src").alias("id")).union(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
+        return graph.dangling(nodes, graph.out_degrees(e))
+
+    def a2b_customers_without_orders(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        big = o.filter(F.col("o_totalprice") > 480000).select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+        return c.select("c_custkey").join(big, "c_custkey", "left_anti")
+
+    def j1_broadcast_join(spark, sf):
+        o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+        return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "c_name", "o_totalprice"
+        )
+
+    def j2_double_join(spark, sf):
+        o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select("o_orderkey", "c_name", "n_name")
+        )
+
+    def j3_left_join_coalesce(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        spent = o.groupBy("o_custkey").agg(_dsum(F.col("o_totalprice"), "t"))
+        return c.join(spent, c.c_custkey == spent.o_custkey, "left").select(
+            "c_custkey", F.coalesce("t", F.lit(0.0)).alias("total_spent")
+        )
+
+    def j4_gather_revenue(spark, sf):
+        o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+        term = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(_dsum(term, "revenue"))
+        )
+
+    def j4_salted_gather_revenue(spark, sf):
+        # explicit two-stage skew-split aggregation (same result, same oracle)
+        o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+        term = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        partial = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_custkey", F.pmod(F.hash("l_orderkey"), F.lit(16)).alias("_salt"))
+            .agg(F.sum(term.cast("decimal(18,6)")).alias("psum"))
+        )
+        return partial.groupBy("o_custkey").agg(
+            F.sum("psum").cast("double").alias("revenue")
+        )
+
+    def f8_semi_join(spark, sf):
+        o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+        big = li.filter(F.col("l_quantity") > 45).select(F.col("l_orderkey").alias("o_orderkey"))
+        return o.select("o_orderkey").join(big, "o_orderkey", "left_semi")
+
+    def j5_anti_join(spark, sf):
+        p, li = _t(spark, sf, "part"), _t(spark, sf, "lineitem")
+        hi = li.filter(F.col("l_quantity") > 49).select(
+            F.col("l_partkey").alias("p_partkey")
+        )
+        return p.select("p_partkey").join(hi, "p_partkey", "left_anti")
+
+    def a6_distinct_pairs(spark, sf):
+        return dedupe.dedupe_exact(_t(spark, sf, "lineitem"), ["l_orderkey", "l_partkey"])
+
+    def a7_argmax_latest_order(spark, sf):
+        o = _t(spark, sf, "orders")
+        best = o.groupBy("o_custkey").agg(
+            F.max(F.struct(F.col("o_orderdate"), F.col("o_orderkey"))).alias("b")
+        )
+        return best.select(
+            "o_custkey",
+            F.col("b.o_orderkey").alias("latest_orderkey"),
+            F.unix_timestamp(F.col("b.o_orderdate")).alias("latest_epoch"),
+        )
+
+    def a8_max_total_per_customer(spark, sf):
+        return dedupe.keep_max_score(
+            _t(spark, sf, "orders").select(F.col("o_custkey"), F.col("o_totalprice").alias("score")),
+            key_col="o_custkey",
+            score_col="score",
+        ).withColumnRenamed("score", "max_total")
+
+    def a9_minmax_acctbal(spark, sf):
+        from engine.operators.tfidf import minmax_normalize
+
+        c = _t(spark, sf, "customer").select("c_custkey", F.col("c_acctbal").alias("score"))
+        return minmax_normalize(c, "score").select(
+            "c_custkey", F.round("score_norm", 6).alias("bal_norm")
+        )
+
+    def a11_distinct_suppliers_per_part(spark, sf):
+        return (
+            _t(spark, sf, "lineitem")
+            .groupBy("l_partkey")
+            .agg(F.countDistinct("l_suppkey").cast("long").alias("n_supp"))
+        )
+
+    def a15_graph_summary(spark, sf):
+        e = _edges(spark, sf)
+        nodes = e.select(F.col("src").alias("id")).union(
+            e.select(F.col("dst").alias("id"))
+        ).distinct()
+        n = nodes.count()
+        d = graph.dangling(nodes, graph.out_degrees(e)).count()
+        m = e.count()
+        return spark.createDataFrame([(n, m, d)], "n long, m long, dangling long")
+
+    def t1_topk_revenue(spark, sf):
+        return (
+            j4_gather_revenue(spark, sf)
+            .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+            .limit(10)
+        )
+
+    def t5_rank_topk(spark, sf):
+        w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        return (
+            t1_topk_revenue(spark, sf)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+        )
+
+    def u2_except(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        return c.select(F.col("c_custkey").alias("k")).subtract(
+            o.filter(F.col("o_totalprice") > 480000).select(F.col("o_custkey").alias("k"))
+        )
+
+    def c6_math_scalars(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+            F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+            F.round(F.abs(F.col("l_discount") - F.col("l_tax")), 6).alias("abs_dt"),
+            F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("pow_disc"),
+        )
+
+    def c1_tokens_distinct(spark, sf):
+        d = _t(spark, sf, "documents")
+        return (
+            d.select("doc_id", F.explode(tfidf.tokenize_col(F.col("text"))).alias("term"))
+            .distinct()
+        )
+
+    def tfidf_postings(spark, sf):
+        d = _t(spark, sf, "documents")
+        p = tfidf.build_postings(d, id_col="doc_id", text_col="text")
+        return p.select(F.col("url").alias("doc_id"), "term", F.round("w", 6).alias("w"))
+
+    def tfidf_doc_norms(spark, sf):
+        d = _t(spark, sf, "documents")
+        p = tfidf.build_postings(d, id_col="doc_id", text_col="text")
+        return tfidf.doc_norms(p).select(
+            F.col("url").alias("doc_id"), F.round("norm", 6).alias("norm")
+        )
+
+    def tfidf_query_scores(spark, sf):
+        d = _t(spark, sf, "documents")
+        postings, idf, _ = tfidf.build_postings_with_idf(d, id_col="doc_id", text_col="text")
+        scored = tfidf.search(postings, idf, "spark join table", top_k=None)
+        return scored.select(
+            F.col("url").alias("doc_id"), F.round("tfidf_score", 6).alias("score")
+        )
+
+    def d1_dedup_exact_text(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedupe.dedupe_exact_text(d, "doc_id", "text").select("doc_id")
+
+    def d2_token_jaccard_pairs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedupe.token_jaccard_pairs(d, "doc_id", "text", threshold=0.5, shingle_n=2).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def sim2_embedding_near_dup(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return similarity.embedding_near_duplicates(e, threshold=0.35).select(
+            "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+        )
+
+    def x1_token_counts(spark, sf):
+        d = _t(spark, sf, "documents")
+        return textstats.add_token_counts(d, "text").select(
+            "doc_id",
+            F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+            F.col("n_tokens_re").cast("long").alias("n_tokens_re"),
+        )
+
+    def x2_fingerprint_md5(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", textstats.fingerprint_md5_col(F.col("text")).alias("fp_md5"))
+
+    def x3_langid(spark, sf):
+        d = _t(spark, sf, "documents")
+        return textstats.add_langid(d, "text").select("doc_id", "lang_pred")
+
+    def m1_media_meta(spark, sf):
+        from engine.operators.multimodal import media_metadata
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("media")
+        )
+        return media_metadata(d, "media").select(
+            "doc_id", F.col("media_bytes").cast("long").alias("media_bytes"), "media_kind"
+        )
+
+    def w1_event_window_agg(spark, sf):
+        e = _t(spark, sf, "events")
+        win = ev.windowed_event_counts(e, window="1 day")
+        # recompute the sum with the exact-decimal policy for the oracle gate
+        agg = (
+            e.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), _dsum(F.col("value"), "sum_value"))
+        )
+        return agg.select(
+            F.unix_timestamp(F.col("win.start")).alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+
+    def w2_session_counts(spark, sf):
+        e = _t(spark, sf, "events")
+        s = ev.user_session_counts(e, gap_minutes=30)
+        return s.select(
+            "user_id", F.unix_timestamp(F.col("session_start")).alias("session_epoch"), "n_events"
+        )
+
+    def g3_triangle_count(spark, sf):
+        return triangle_count(_edges(spark, sf))
+
+    # ---- non-SQL-expressible (iterative / hash-specific): rows-only checks ----
+
+    def i1_pagerank(spark, sf):
+        res = pagerank(_edges(spark, sf), tol=1e-8, max_iter=100)
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    def g1_connected_components(spark, sf):
+        return connected_components(_edges(spark, sf))
+
+    def g2_label_propagation(spark, sf):
+        return label_propagation(_edges(spark, sf), max_iter=10)
+
+    def d3_minhash_lsh_pairs(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedupe.minhash_lsh_dedupe_pairs(d, "doc_id", "text", threshold=0.5).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        )
+
+    def d4_simhash_fingerprints(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedupe.simhash_fingerprints(d, "doc_id", "text")
+
+    def sim1_cosine_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return similarity.cosine_topk(e, k=3).select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "knn_rank"
+        )
+
+    def p1_extraction_pipeline(spark, sf):
+        # full web pipeline on the deterministic synthetic pages table:
+        # html -> Arrow-UDF extraction -> explode -> normalize -> filters ->
+        # dense ids -> encoded edges (SURVEY §3.1 as one DAG)
+        from engine import datagen
+
+        pages = datagen.generate_pages_df(spark, 300, seed=42, partitions=4)
+        ex = graph.extract_pages(pages)
+        eu = graph.build_edges_url(ex, base_domain=datagen.BASE_DOMAIN)
+        nodes = graph.build_nodes(pages.select("url"), eu)
+        return graph.encode_edges(eu, nodes)
+
+    return {
+        "a1_out_degree": a1_out_degree,
+        "a2_dangling_nodes": a2_dangling_nodes,
+        "a2b_customers_without_orders": a2b_customers_without_orders,
+        "j1_broadcast_join": j1_broadcast_join,
+        "j2_double_join": j2_double_join,
+        "j3_left_join_coalesce": j3_left_join_coalesce,
+        "j4_gather_revenue": j4_gather_revenue,
+        "j4_salted_gather_revenue": j4_salted_gather_revenue,
+        "f8_semi_join": f8_semi_join,
+        "j5_anti_join": j5_anti_join,
+        "a6_distinct_pairs": a6_distinct_pairs,
+        "a7_argmax_latest_order": a7_argmax_latest_order,
+        "a8_max_total_per_customer": a8_max_total_per_customer,
+        "a9_minmax_acctbal": a9_minmax_acctbal,
+        "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
+        "a15_graph_summary": a15_graph_summary,
+        "t1_topk_revenue": t1_topk_revenue,
+        "t5_rank_topk": t5_rank_topk,
+        "u2_except": u2_except,
+        "c6_math_scalars": c6_math_scalars,
+        "c1_tokens_distinct": c1_tokens_distinct,
+        "tfidf_postings": tfidf_postings,
+        "tfidf_doc_norms": tfidf_doc_norms,
+        "tfidf_query_scores": tfidf_query_scores,
+        "d1_dedup_exact_text": d1_dedup_exact_text,
+        "d2_token_jaccard_pairs": d2_token_jaccard_pairs,
+        "sim2_embedding_near_dup": sim2_embedding_near_dup,
+        "x1_token_counts": x1_token_counts,
+        "x2_fingerprint_md5": x2_fingerprint_md5,
+        "x3_langid": x3_langid,
+        "m1_media_meta": m1_media_meta,
+        "w1_event_window_agg": w1_event_window_agg,
+        "w2_session_counts": w2_session_counts,
+        "g3_triangle_count": g3_triangle_count,
+        # rows-only (iterative / hash-function-specific — no portable SQL)
+        "i1_pagerank": i1_pagerank,
+        "g1_connected_components": g1_connected_components,
+        "g2_label_propagation": g2_label_propagation,
+        "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
+        "d4_simhash_fingerprints": d4_simhash_fingerprints,
+        "sim1_cosine_topk": sim1_cosine_topk,
+        "p1_extraction_pipeline": p1_extraction_pipeline,
+    }
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB; views region nation customer supplier part orders
+# lineitem events documents embeddings are pre-registered)
+# --------------------------------------------------------------------------
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    dsum = lambda expr: f"CAST(sum(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+    revenue_sql = f"""
+        SELECT o_custkey, {dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_custkey
     """
-    return {}
+    return {
+        "a1_out_degree": f"SELECT src, count(*) AS deg FROM ({_EDGES_SQL}) GROUP BY src",
+        "a2_dangling_nodes": """
+            WITH e AS (SELECT l_orderkey % 997 AS src, l_partkey % 1499 AS dst FROM lineitem),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+            SELECT id FROM nodes WHERE id NOT IN (SELECT DISTINCT src FROM e)
+        """,
+        "a2b_customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 480000)
+        """,
+        "j1_broadcast_join": """
+            SELECT o_orderkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "j2_double_join": """
+            SELECT o_orderkey, c_name, n_name
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "j3_left_join_coalesce": f"""
+            SELECT c_custkey, COALESCE(t, 0.0) AS total_spent
+            FROM customer LEFT JOIN (
+                SELECT o_custkey, {dsum('o_totalprice')} AS t FROM orders GROUP BY o_custkey
+            ) s ON c_custkey = s.o_custkey
+        """,
+        "j4_gather_revenue": revenue_sql,
+        "j4_salted_gather_revenue": revenue_sql,
+        "f8_semi_join": """
+            SELECT o_orderkey FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        """,
+        "j5_anti_join": """
+            SELECT p_partkey FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49)
+        """,
+        "a6_distinct_pairs": "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem",
+        "a7_argmax_latest_order": """
+            SELECT o_custkey, o_orderkey AS latest_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS latest_epoch
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "a8_max_total_per_customer": """
+            SELECT o_custkey, max(o_totalprice) AS max_total FROM orders GROUP BY o_custkey
+        """,
+        "a9_minmax_acctbal": """
+            SELECT c_custkey,
+                   CAST(round((c_acctbal - (SELECT min(c_acctbal) FROM customer)) /
+                        (SELECT CASE WHEN max(c_acctbal) > min(c_acctbal)
+                                     THEN max(c_acctbal) - min(c_acctbal) ELSE 1.0 END FROM customer), 6) AS DOUBLE) AS bal_norm
+            FROM customer
+        """,
+        "a11_distinct_suppliers_per_part": """
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp FROM lineitem GROUP BY l_partkey
+        """,
+        "a15_graph_summary": f"""
+            WITH e AS ({_EDGES_SQL}),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+            SELECT (SELECT count(*) FROM nodes) AS n,
+                   (SELECT count(*) FROM e) AS m,
+                   (SELECT count(*) FROM nodes WHERE id NOT IN (SELECT DISTINCT src FROM e)) AS dangling
+        """,
+        "t1_topk_revenue": f"""
+            SELECT * FROM ({revenue_sql}) ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+        """,
+        "t5_rank_topk": f"""
+            SELECT o_custkey, revenue,
+                   row_number() OVER (ORDER BY revenue DESC, o_custkey ASC) AS rnk
+            FROM ({revenue_sql}) ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+        """,
+        "u2_except": """
+            SELECT c_custkey AS k FROM customer
+            EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 480000
+        """,
+        "c6_math_scalars": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(round(ln(l_extendedprice), 6) AS DOUBLE) AS ln_price,
+                   CAST(round(sqrt(l_quantity), 6) AS DOUBLE) AS sqrt_qty,
+                   CAST(round(abs(l_discount - l_tax), 6) AS DOUBLE) AS abs_dt,
+                   CAST(round(pow(1.0 + l_discount, 2), 6) AS DOUBLE) AS pow_disc
+            FROM lineitem
+        """,
+        "c1_tokens_distinct": f"""
+            SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+        """,
+        "tfidf_postings": f"""
+            WITH tf AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), tfc AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS n FROM tfc
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tfc GROUP BY term
+            )
+            SELECT tfc.doc_id, tfc.term,
+                   CAST(round(tfc.tf * (ln((1 + n.n) / (1 + dfreq.df)) + 1.0), 6) AS DOUBLE) AS w
+            FROM tfc, n JOIN dfreq ON tfc.term = dfreq.term
+        """,
+        "tfidf_doc_norms": f"""
+            WITH tf AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), tfc AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS n FROM tfc
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tfc GROUP BY term
+            ), w AS (
+                SELECT tfc.doc_id, tfc.tf * (ln((1 + n.n) / (1 + dfreq.df)) + 1.0) AS w
+                FROM tfc, n JOIN dfreq ON tfc.term = dfreq.term
+            )
+            SELECT doc_id, CAST(round(sqrt(sum(w * w)), 6) AS DOUBLE) AS norm FROM w GROUP BY doc_id
+        """,
+        "tfidf_query_scores": f"""
+            WITH tf AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), tfc AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS n FROM tfc
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tfc GROUP BY term
+            ), idf AS (
+                SELECT term, ln((1 + n.n) / (1 + dfreq.df)) + 1.0 AS idf FROM dfreq, n
+            ), w AS (
+                SELECT tfc.doc_id, tfc.term, tfc.tf * idf.idf AS w
+                FROM tfc JOIN idf ON tfc.term = idf.term
+            ), norms AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+            ), q AS (
+                SELECT t.term, 1.0 * idf.idf AS qw FROM (VALUES ('spark'), ('join'), ('table')) t(term)
+                JOIN idf ON t.term = idf.term
+            ), qn AS (
+                SELECT sqrt(sum(qw * qw)) AS qnorm FROM q
+            ), dots AS (
+                SELECT w.doc_id, sum(q.qw * w.w) AS dot FROM w JOIN q ON w.term = q.term GROUP BY w.doc_id
+            )
+            SELECT d.doc_id, CAST(round(d.dot / (qn.qnorm * norms.nrm), 6) AS DOUBLE) AS score
+            FROM dots d, qn JOIN norms ON d.doc_id = norms.doc_id
+        """,
+        "d1_dedup_exact_text": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "d2_token_jaccard_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS l FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(CASE WHEN len(l) >= 2
+                    THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                    ELSE [array_to_string(l, ' ')] END)) AS shingle
+                FROM toks
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(round(i / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "sim2_embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS DOUBLE) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        """,
+        "x1_token_counts": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens_ws,
+                   len({_TOK})::BIGINT AS n_tokens_re
+            FROM documents
+        """,
+        "x2_fingerprint_md5": """
+            SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
+            FROM documents
+        """,
+        "x3_langid": """
+            WITH t AS (
+                SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS toks FROM documents
+            ), hits AS (
+                SELECT doc_id,
+                    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','was','for','with','as','on','at','this'])) AS h_en,
+                    len(list_intersect(toks, ['der','die','das','und','ist','von','zu','mit','den','nicht','ein','eine','auf','für','im'])) AS h_de,
+                    len(list_intersect(toks, ['le','la','les','et','de','des','un','une','est','dans','que','pour','sur','avec','pas'])) AS h_fr
+                FROM t
+            )
+            SELECT doc_id, CASE
+                WHEN greatest(h_en, h_de, h_fr) <= 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+            FROM hits
+        """,
+        "m1_media_meta": """
+            SELECT doc_id, octet_length(encode(text))::BIGINT AS media_bytes, 'unknown' AS media_kind
+            FROM documents
+        """,
+        "w1_event_window_agg": f"""
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_epoch,
+                   event_type, count(*) AS n_events,
+                   {dsum('value')} AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "w2_session_counts": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), g AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM d
+            )
+            SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_epoch, count(*) AS n_events
+            FROM g GROUP BY user_id, sid
+        """,
+        "g3_triangle_count": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM ({_EDGES_SQL}) WHERE src <> dst
+            )
+            SELECT count(*)::BIGINT AS triangles
+            FROM und e1 JOIN und e2 ON e2.u = e1.v JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+    }

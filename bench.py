@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the engine's north-star path: PageRank
+edges-processed/sec per iteration (reported inside "queries" as pagerank_*
+plus derived throughput in "extra"). See BENCH/run_bench.py for the N-vs-4N
+parallelism scaling evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from engine.session import build_session
+    from engine.operators.pagerank import pagerank
+    from engine.operators.components import connected_components
+    from engine.operators.triangles import triangle_count
+    from engine.operators import tfidf, dedupe
+
+    import __spark_entry__ as contract
+
+    spark = build_session(
+        app_name="linkgraph-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+
+    sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    edges = contract._edges(spark, SF_DIR).persist()
+    n_edges = edges.count()
+
+    # --- pagerank (north metric) ---
+    t0 = time.time()
+    res = pagerank(edges, tol=1e-6, max_iter=100)
+    res.ranks.count()
+    timings["pagerank_1e6"] = round(time.time() - t0, 3)
+    iter_wall = sum(m["wall_sec"] for m in res.metrics)
+    extra["pagerank_iterations"] = res.iterations
+    extra["pagerank_edges"] = n_edges
+    extra["pagerank_edges_per_sec_per_iter"] = round(
+        n_edges * res.iterations / iter_wall, 1
+    )
+
+    # --- graph kernels ---
+    timed("connected_components", lambda: connected_components(edges).count())
+    timed("triangle_count", lambda: triangle_count(edges).collect())
+
+    # --- relational / gather ---
+    timed("gather_revenue", lambda: contract.queries()["j4_salted_gather_revenue"](spark, SF_DIR).count())
+    timed("topk_revenue", lambda: contract.queries()["t1_topk_revenue"](spark, SF_DIR).collect())
+
+    # --- text / dedupe over documents ---
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("tfidf_postings", lambda: tfidf.build_postings(docs, "doc_id", "text").count())
+    timed(
+        "minhash_lsh_pairs",
+        lambda: dedupe.minhash_lsh_dedupe_pairs(docs, "doc_id", "text", threshold=0.5).count(),
+    )
+
+    edges.unpersist()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_label,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

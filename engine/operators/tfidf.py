@@ -69,12 +69,13 @@ def search(
     postings: DataFrame,
     idf: DataFrame,
     query: str,
-    top_k: int = 10,
+    top_k: int | None = 10,
 ) -> DataFrame:
     """Cosine TF-IDF search (tfidf_index.py:95-132). Returns
-    (url, tfidf_score) top-k desc. Query weighting happens driver-side (a
-    query is a handful of terms); the doc side is fully distributed — the
-    IN-list on term is pushed to the postings scan."""
+    (url, tfidf_score) top-k desc (all matches, unsorted, when top_k is
+    None). Query weighting happens driver-side (a query is a handful of
+    terms); the doc side is fully distributed — the IN-list on term is
+    pushed to the postings scan."""
     import re as _re
 
     tokens = [t.lower() for t in _re.findall(r"\b\w+\b", query)]
@@ -103,6 +104,8 @@ def search(
             "url", (F.col("dot") / (F.lit(q_norm) * F.col("norm"))).alias("tfidf_score")
         )
     )
+    if top_k is None:
+        return scored
     return scored.orderBy(F.desc("tfidf_score"), F.asc("url")).limit(top_k)
 
 

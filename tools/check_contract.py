@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
+names, and order-insensitive values. Usage:
+    python tools/check_contract.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from engine.session import build_session
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    return repr(v)
+
+
+def df_to_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_session(app_name="contract-check", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols} ({time.time()-t0:.1f}s)")
+            if len(srows) == 0 and name != "a2_dangling_nodes":
+                print(f"  WARNING: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            ok = False
+        else:
+            sn = df_to_rows(scols, [[r[c] for c in scols] for r in srows])
+            dn = df_to_rows(dcols, drows)
+            if sn != dn:
+                diff = [i for i, (a, b) in enumerate(zip(sn, dn)) if a != b][:3]
+                print(f"FAIL {name}: value mismatch at sorted rows {diff}")
+                for i in diff[:2]:
+                    print(f"   spark: {sn[i]}")
+                    print(f"   duck : {dn[i]}")
+                ok = False
+        if ok:
+            print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+    print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
