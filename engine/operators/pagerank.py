@@ -106,7 +106,17 @@ def pagerank(
     """
     spark = edges.sparkSession
     sc = spark.sparkContext
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions:
+        P = num_partitions
+    else:
+        # size the per-iteration shuffle to the graph: ~250k edge rows per
+        # partition, clamped to the session default. Tiny graphs then run a
+        # handful of tasks per stage instead of paying conf_p scheduling
+        # overhead x iterations; at cluster scale callers pass num_partitions
+        # (or the session default, ~2-3x total cores, wins).
+        est_edges = edges.count()
+        P = max(2, min(conf_p, (est_edges // 250_000) + 1))
 
     if nodes is None:
         mx = edges.agg(
@@ -189,19 +199,23 @@ def pagerank(
                 .agg(F.sum(F.col("rank") * F.col("w")).alias("gathered"))
             )
 
-        r_new = (
-            node_info.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                "is_dangling",
-                (
-                    F.lit(alpha)
-                    * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.lit(dangling_mass / n))
-                    + F.lit(teleport)
-                ).alias("rank"),
-            )
-            .persist()
+        r_new = node_info.join(
+            gathered.withColumnRenamed("dst", "id"), "id", "left"
+        ).select(
+            "id",
+            "is_dangling",
+            (
+                F.lit(alpha)
+                * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                + F.lit(teleport)
+            ).alias("rank"),
         )
+        # truncate lineage EVERY iteration: without this the logical plan
+        # grows linearly and Catalyst re-analysis becomes the per-iteration
+        # bottleneck (driver-side, superlinear). localCheckpoint materializes
+        # r_new to executor block storage and replaces the plan with a
+        # LogicalRDD — the double-buffer swap of pagerank_gpu.cu:175/307.
+        r_new = r_new.localCheckpoint(eager=True)
 
         # one multi-aggregate pass: L1 delta + next dangling mass + Σrank
         stats = (
@@ -217,7 +231,6 @@ def pagerank(
         dangling_mass = float(stats["dm"])
         wall = time.time() - t0
 
-        cur_shuffle = _shuffle_totals(spark)
         m = {
             "iter": it,
             "delta_l1": delta,
@@ -225,17 +238,26 @@ def pagerank(
             "sum_rank": float(stats["total"]),
             "wall_sec": round(wall, 4),
         }
-        if cur_shuffle and base_shuffle:
-            m["shuffle_read_bytes"] = cur_shuffle["shuffle_read_bytes"] - base_shuffle["shuffle_read_bytes"]
-            m["shuffle_write_bytes"] = cur_shuffle["shuffle_write_bytes"] - base_shuffle["shuffle_write_bytes"]
-            base_shuffle = cur_shuffle
         metrics.append(m)
 
         r.unpersist()
         r = r_new.select("id", "rank")
 
-        # lineage truncation + resumable snapshot
+        # lineage truncation + resumable snapshot. Shuffle-byte polling (UI
+        # REST) happens only here — once per checkpoint window, not per
+        # iteration: the stage list grows with the run and per-iteration
+        # polling becomes a driver-side bottleneck on long runs.
         last_round = delta < tol or it == max_iter - 1
+        if last_round or it % checkpoint_every == checkpoint_every - 1:
+            cur_shuffle = _shuffle_totals(spark)
+            if cur_shuffle and base_shuffle:
+                m["shuffle_read_bytes"] = (
+                    cur_shuffle["shuffle_read_bytes"] - base_shuffle["shuffle_read_bytes"]
+                )
+                m["shuffle_write_bytes"] = (
+                    cur_shuffle["shuffle_write_bytes"] - base_shuffle["shuffle_write_bytes"]
+                )
+                base_shuffle = cur_shuffle
         if checkpoint_dir and (it % checkpoint_every == checkpoint_every - 1 or last_round):
             snap = os.path.join(checkpoint_dir, f"iter={it}")
             r.write.mode("overwrite").parquet(snap)
@@ -253,9 +275,6 @@ def pagerank(
                     "iterations": metrics,
                 },
             )
-        elif it % checkpoint_every == checkpoint_every - 1:
-            r = r.localCheckpoint(eager=True)
-
         if delta < tol:
             converged = True
             break

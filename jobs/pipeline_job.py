@@ -1,0 +1,131 @@
+"""spark-submit entrypoint: full corpus pipeline (SURVEY §3.1 as ONE Spark job).
+
+The reference runs this as four processes stitched with scp/ssh
+(api/build_corpus.py:268-299: crawl → encode → remote CUDA pagerank → parse).
+Here it is one declarative DAG plus the iterative rank loop:
+
+    pages Parquet (url, warc_ts, html, text, lang)
+      → Arrow-UDF extraction (text + hrefs, one shared parse)
+      → explode / normalize / same-domain + scheme filters
+      → dense node ids → encoded (src, dst) edge table   [written]
+      → PageRank to tol                                   [ranks written]
+      → ranks ⋈ nodes, sorted desc                        [pagerank.json analog]
+
+    spark-submit --py-files engine.zip jobs/pipeline_job.py \
+        --pages /path/pages_parquet --out /path/outdir \
+        [--gen-pages 5000 --lang en --alpha 0.85 --tol 1e-6 --max-iter 100]
+
+With --gen-pages N (no --pages), the deterministic synthetic Common-Crawl-style
+table is generated distributed (engine/datagen.py) first — no external data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", default=None, help="input pages parquet dir")
+    ap.add_argument("--gen-pages", type=int, default=0, help="generate N synthetic pages instead")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--lang", default=None, help="language filter prefix (e.g. en)")
+    ap.add_argument("--base-domain", default=None, help="same-domain filter (last two labels)")
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--top-k", type=int, default=100000)  # api/build_corpus.py:104
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from engine import datagen
+    from engine.operators import graph
+    from engine.operators.pagerank import pagerank
+    from engine.session import build_session
+
+    spark = build_session(
+        app_name="corpus-pipeline", master=args.master, shuffle_partitions=args.partitions
+    )
+    t_start = time.time()
+
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+        base_domain = args.base_domain
+    else:
+        if not args.gen_pages:
+            ap.error("need --pages or --gen-pages")
+        pages = datagen.generate_pages_df(spark, args.gen_pages, seed=args.seed)
+        base_domain = args.base_domain or datagen.BASE_DOMAIN
+
+    pages = graph.filter_lang(pages, args.lang)
+
+    extracted = graph.extract_pages(pages).persist()
+    edges_url = graph.build_edges_url(extracted, base_domain=base_domain)
+    nodes = graph.build_nodes(pages.select("url"), edges_url).persist()
+    edges = graph.encode_edges(edges_url, nodes).persist()
+
+    os.makedirs(args.out, exist_ok=True)
+    # pages.json analog: extracted corpus (id, url, text)
+    extracted.join(nodes, "url").select("id", "url", "text").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.out, "pages"))
+    nodes.write.mode("overwrite").parquet(os.path.join(args.out, "nodes"))
+    graph.dedupe_edges(edges).write.mode("overwrite").parquet(
+        os.path.join(args.out, "edges")
+    )
+    t_extract = time.time()
+
+    res = pagerank(
+        edges,
+        nodes=nodes.select("id"),
+        alpha=args.alpha,
+        tol=args.tol,
+        max_iter=args.max_iter,
+        checkpoint_dir=os.path.join(args.out, "checkpoints"),
+        num_partitions=args.partitions,
+    )
+    # pagerank.json analog: (id, url, score) sorted desc, Σ=1
+    # (parse_pagerank.py:43-68 semi-join + renormalize + sort)
+    scored = (
+        res.ranks.join(nodes, "id")
+        .select("id", "url", F.col("rank").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(args.top_k)
+    )
+    scored.write.mode("overwrite").parquet(os.path.join(args.out, "pagerank"))
+    t_rank = time.time()
+
+    summary = {
+        "pages": pages.count(),
+        "nodes": res.num_nodes,
+        "edges": res.num_edges,
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "final_delta": res.final_delta,
+        "extract_sec": round(t_extract - t_start, 3),
+        "rank_sec": round(t_rank - t_extract, 3),
+        "iterate_wall_sec": round(sum(m["wall_sec"] for m in res.metrics), 3),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump({**summary, "metrics": res.metrics}, f, indent=1)
+    print(json.dumps(summary))
+
+    extracted.unpersist()
+    nodes.unpersist()
+    edges.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
