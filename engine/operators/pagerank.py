@@ -83,6 +83,9 @@ def _save_manifest(checkpoint_dir: str, manifest: dict) -> None:
     os.replace(tmp, path)
 
 
+BROADCAST_NODE_LIMIT = 4_000_000  # ranks table ≈ 16 B/row → ≤ ~64 MB broadcast
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -94,6 +97,8 @@ def pagerank(
     checkpoint_every: int = 5,
     num_partitions: int | None = None,
     resume: bool = True,
+    broadcast_ranks: bool | None = None,
+    check_every: int = 1,
 ) -> PageRankResult:
     """Run PageRank over an edge table (src BIGINT, dst BIGINT).
 
@@ -103,6 +108,24 @@ def pagerank(
     Duplicate edges count with multiplicity (the reference never dedupes in
     load_graph; outdeg and the matrix both see every occurrence).
     Defaults alpha/tol/max_iter match pagerank_gpu.cu:367-370.
+
+    broadcast_ranks: gather strategy. True → adj is hash-partitioned on dst
+    ONCE and the (small) rank vector is broadcast each iteration, so the
+    join + partial agg + final agg all run in a single exchange-free stage
+    over the cached adjacency — no per-iteration multi-MB shuffle at all.
+    False → shuffle gather (adj ⋈ ranks on src, shuffle by dst), the path
+    for node counts too big to broadcast; combine with salt_buckets for hub
+    skew. None (default) → auto: broadcast iff n ≤ BROADCAST_NODE_LIMIT.
+    Both strategies compute the identical recurrence (float sum order may
+    differ at the last ulp).
+
+    check_every: cadence of the convergence-stats job (consecutive-iteration
+    L1 delta, reference criterion unchanged — just evaluated every k-th
+    iteration, so a run may do up to k-1 iterations past convergence). The
+    dangling mass itself never needs a driver round-trip: it is folded into
+    the update as a lazy broadcast 1-row aggregate of the current vector.
+    With k > 1, per-iteration metrics carry delta/Σrank only on check
+    iterations.
     """
     spark = edges.sparkSession
     sc = spark.sparkContext
@@ -127,11 +150,18 @@ def pagerank(
         nodes = spark.range(0, int(mx) + 1).select(F.col("id"))
 
     # ---- one-time graph prep (outside the loop, like build_P cu:85-133) ----
+    if broadcast_ranks is None:
+        # decide before building adj: broadcast path wants dst-partitioning
+        n_probe = nodes.count()
+        broadcast_ranks = n_probe <= BROADCAST_NODE_LIMIT
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     adj = (
         edges.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .repartition(P, "src")
+        # broadcast gather: partition by dst so join→partial-agg→final-agg is
+        # one exchange-free stage; shuffle gather: partition by src so only
+        # the small rank vector shuffles into the join
+        .repartition(P, "dst" if broadcast_ranks else "src")
         .persist()
     )
     num_edges = adj.count()  # materialize
@@ -147,8 +177,11 @@ def pagerank(
     teleport = (1.0 - alpha) / n
 
     # ---- init / resume ----
+    # r carries (id, rank, is_dangling): the dangling flag rides along so the
+    # per-iteration dangling-mass aggregate is a filter+sum over r itself —
+    # no join, no driver round-trip (the reference's separate dangling sweep,
+    # cu:149-154, folded into the dataflow).
     start_iter = 0
-    dangling_mass = None
     metrics: list[dict] = []
     r = None
     if checkpoint_dir:
@@ -156,34 +189,48 @@ def pagerank(
         man = _load_manifest(checkpoint_dir) if resume else None
         if man and man.get("completed_iter", -1) >= 0 and man.get("n") == n:
             start_iter = man["completed_iter"] + 1
-            dangling_mass = man["dangling_mass"]
             metrics = man["iterations"]
             snap = os.path.join(checkpoint_dir, f"iter={man['completed_iter']}")
-            r = spark.read.parquet(snap).repartition(P, "id").persist()
-            r.count()
+            r = (
+                spark.read.parquet(snap)
+                .join(node_info, "id")
+                .select("id", "rank", "is_dangling")
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
     if r is None:
-        r = node_info.select("id", F.lit(1.0 / n).alias("rank")).persist()
-        r.count()
-    if dangling_mass is None:
-        dangling_mass = (
-            node_info.filter("is_dangling").count() * (1.0 / n)
-            if start_iter == 0
-            else r.join(node_info.filter("is_dangling"), "id", "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
+        r = node_info.select(
+            "id", F.lit(1.0 / n).alias("rank"), "is_dangling"
+        ).localCheckpoint(eager=True)
 
     converged = False
     delta = float("inf")
+    dangling_mass = None  # informational (manifest/metrics); not on the critical path
     it = start_iter - 1
     base_shuffle = _shuffle_totals(spark)
 
     for it in range(start_iter, max_iter):
         t0 = time.time()
         ranks_src = r.select(F.col("id").alias("src"), "rank")
+        # lazy scalar: Σ rank over dangling nodes of the CURRENT vector,
+        # broadcast as a 1-row frame into the update projection
+        dm_df = r.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("_dm")
+        )
 
-        if salt_buckets and salt_buckets > 1:
+        if broadcast_ranks:
+            # exchange-free gather: broadcast-hash-join the rank vector into
+            # the dst-partitioned cached adjacency; the groupBy(dst) partial
+            # and final aggregates are satisfied by adj's existing hash
+            # partitioning, so the whole SpMV is ONE stage, no shuffle files
+            gathered = (
+                adj.join(F.broadcast(ranks_src), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("gathered"))
+            )
+        elif salt_buckets and salt_buckets > 1:
             # explicit skew split: partial agg on (dst, salt(src)) bounds any
             # single reduce task to ~in_deg/S rows for hub destinations
             partial = (
@@ -199,16 +246,21 @@ def pagerank(
                 .agg(F.sum(F.col("rank") * F.col("w")).alias("gathered"))
             )
 
-        r_new = node_info.join(
-            gathered.withColumnRenamed("dst", "id"), "id", "left"
-        ).select(
-            "id",
-            "is_dangling",
-            (
-                F.lit(alpha)
-                * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.lit(dangling_mass / n))
-                + F.lit(teleport)
-            ).alias("rank"),
+        r_new = (
+            node_info.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .crossJoin(F.broadcast(dm_df))
+            .select(
+                "id",
+                (
+                    F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("gathered"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                    + F.lit(teleport)
+                ).alias("rank"),
+                "is_dangling",
+            )
         )
         # truncate lineage EVERY iteration: without this the logical plan
         # grows linearly and Catalyst re-analysis becomes the per-iteration
@@ -217,31 +269,36 @@ def pagerank(
         # LogicalRDD — the double-buffer swap of pagerank_gpu.cu:175/307.
         r_new = r_new.localCheckpoint(eager=True)
 
-        # one multi-aggregate pass: L1 delta + next dangling mass + Σrank
-        stats = (
-            r_new.join(r.select("id", F.col("rank").alias("old")), "id")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
-                F.sum(F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)).alias("dm"),
-                F.sum("rank").alias("total"),
-            )
-            .collect()[0]
+        m = {"iter": it}
+        check = (
+            check_every <= 1
+            or (it - start_iter) % check_every == check_every - 1
+            or it == max_iter - 1
         )
-        delta = float(stats["delta"])
-        dangling_mass = float(stats["dm"])
-        wall = time.time() - t0
-
-        m = {
-            "iter": it,
-            "delta_l1": delta,
-            "dangling_mass": dangling_mass,
-            "sum_rank": float(stats["total"]),
-            "wall_sec": round(wall, 4),
-        }
+        if check:
+            # one multi-aggregate pass: L1 delta (consecutive iterations,
+            # reference criterion cu:169-180) + dangling mass + Σrank
+            stats = (
+                r_new.join(r.select("id", F.col("rank").alias("old")), "id")
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                    F.sum(
+                        F.when(F.col("is_dangling"), F.col("rank")).otherwise(0.0)
+                    ).alias("dm"),
+                    F.sum("rank").alias("total"),
+                )
+                .collect()[0]
+            )
+            delta = float(stats["delta"])
+            dangling_mass = float(stats["dm"])
+            m["delta_l1"] = delta
+            m["dangling_mass"] = dangling_mass
+            m["sum_rank"] = float(stats["total"])
+        m["wall_sec"] = round(time.time() - t0, 4)
         metrics.append(m)
 
         r.unpersist()
-        r = r_new.select("id", "rank")
+        r = r_new
 
         # lineage truncation + resumable snapshot. Shuffle-byte polling (UI
         # REST) happens only here — once per checkpoint window, not per
@@ -260,9 +317,14 @@ def pagerank(
                 base_shuffle = cur_shuffle
         if checkpoint_dir and (it % checkpoint_every == checkpoint_every - 1 or last_round):
             snap = os.path.join(checkpoint_dir, f"iter={it}")
-            r.write.mode("overwrite").parquet(snap)
-            r = spark.read.parquet(snap).repartition(P, "id").persist()
-            r.count()
+            r.select("id", "rank").write.mode("overwrite").parquet(snap)
+            r = (
+                spark.read.parquet(snap)
+                .join(node_info, "id")
+                .select("id", "rank", "is_dangling")
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
             _save_manifest(
                 checkpoint_dir,
                 {

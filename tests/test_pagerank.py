@@ -105,6 +105,19 @@ def test_salted_gather_equivalent(spark):
     assert plain.iterations == salted.iterations
 
 
+def test_broadcast_and_shuffle_gather_agree(spark):
+    """The exchange-free broadcast gather and the shuffle gather are two
+    physical strategies for the same recurrence — scores must agree to
+    float-sum-reorder tolerance."""
+    edges = _load_edges(REF_1K)[:4000]
+    df = _edges_df(spark, edges)
+    bc = pagerank(df, tol=1e-10, max_iter=40, broadcast_ranks=True)
+    sh = pagerank(df, tol=1e-10, max_iter=40, broadcast_ranks=False)
+    n = bc.num_nodes
+    assert np.allclose(_ranks_array(bc, n), _ranks_array(sh, n), atol=1e-12)
+    assert bc.iterations == sh.iterations
+
+
 def test_checkpoint_resume_identical(spark, tmp_path):
     edges = _load_edges(REF_1K)[:3000]
     df = _edges_df(spark, edges)
