@@ -20,10 +20,31 @@ def label_propagation(
     nodes: DataFrame | None = None,
     max_iter: int = 20,
     num_partitions: int | None = None,
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
-    """Returns (id BIGINT, label BIGINT) at convergence (or max_iter)."""
+    """Returns (id BIGINT, label BIGINT) at convergence (or max_iter).
+
+    broadcast_labels: True → the (small) label vector is broadcast into the
+    u-partitioned cached adjacency each round, so join + both grouped
+    aggregates run in one exchange-free stage (hash(u) clusters every
+    grouping key set) — same strategy as pagerank's broadcast gather.
+    False → shuffle join on v. None → auto by node count.
+    """
+    from engine.operators.pagerank import BROADCAST_NODE_LIMIT
+
     spark = edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    nodes = nodes.select("id").repartition(P, "id").persist()
+    n = nodes.count()
+    if broadcast_labels is None:
+        broadcast_labels = n <= BROADCAST_NODE_LIMIT
 
     adj = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -34,25 +55,21 @@ def label_propagation(
             )
         )
         .distinct()
-        .repartition(P, "v")
+        # broadcast mode: partition by u so the per-round join + groupBy(u,…)
+        # + groupBy(u) chain needs no exchange; shuffle mode: by the join key
+        .repartition(P, "u" if broadcast_labels else "v")
         .persist()
     )
     adj.count()
-
-    if nodes is None:
-        nodes = (
-            edges.select(F.col("src").alias("id"))
-            .union(edges.select(F.col("dst").alias("id")))
-            .distinct()
-        )
-    nodes = nodes.select("id").repartition(P, "id").persist()
-    nodes.count()
 
     labels = nodes.select("id", F.col("id").alias("label")).persist()
     labels.count()
 
     for it in range(max_iter):
-        nbr = adj.join(labels.withColumnRenamed("id", "v"), "v").select("u", "label")
+        lbl_v = labels.withColumnRenamed("id", "v")
+        if broadcast_labels:
+            lbl_v = F.broadcast(lbl_v)
+        nbr = adj.join(lbl_v, "v").select("u", "label")
         counts = nbr.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
         # most frequent, min label on ties: max over (cnt, -label)
         best = counts.groupBy("u").agg(
