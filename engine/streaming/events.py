@@ -60,6 +60,48 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -
     return spark.table(name)
 
 
+RUNNING_TOTALS_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+_RUNNING_STATE_SCHEMA = "n bigint, total double"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running event count + Σvalue carried in explicit GroupState across
+    micro-batches; emits the updated running totals for every user seen in
+    each batch. State is (n BIGINT, total DOUBLE) per user — O(users) state,
+    no raw-event retention. Streaming-only (Spark requires a streaming
+    relation); the batch oracle twin is `user_totals_batch`."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_SCHEMA,
+        _RUNNING_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch equivalent of the final state of `stateful_user_totals`."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+    )
+
+
 def user_session_counts(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user session count via session_window (gap-based sessionization) —
     works batch and streaming. Returns (user_id, session_start, n_events)."""

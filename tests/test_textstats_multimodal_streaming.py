@@ -129,3 +129,39 @@ def test_session_window_counts(spark):
     assert got[(7, t0)] == 2
     assert got[(7, t0 + dt.timedelta(hours=2))] == 1
     assert got[(8, t0)] == 1
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-user state across micro-batches:
+    final emitted totals == batch groupBy aggregate over all events."""
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(2000)
+    stream_dir = str(tmp_path / "events_stateful")
+    # several files -> several micro-batches (maxFilesPerTrigger=1)
+    events.repartition(4).write.parquet(stream_dir)
+
+    stream = ev.read_event_stream(spark, stream_dir, max_files=1)
+    q = (
+        ev.stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table("user_totals")
+    # n_events is monotone per user -> the max row is the final state
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in emitted.orderBy("user_id", "n_events").collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in ev.user_totals_batch(events).collect()
+    }
+    assert set(final) == set(batch)
+    for u in batch:
+        assert final[u][0] == batch[u][0]
+        assert final[u][1] == pytest.approx(batch[u][1], rel=1e-9)
+    # state really spanned multiple batches: more emissions than users
+    assert emitted.count() > len(batch)
