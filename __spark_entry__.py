@@ -334,6 +334,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def g2_label_propagation(spark, sf):
         return label_propagation(_edges(spark, sf), max_iter=10)
 
+    def sim3_lsh_ann_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        return similarity.lsh_ann_topk(e, k=3).select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "knn_rank"
+        )
+
+    def x5_fingerprint_rolling(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id", textstats.fingerprint_rolling_col(F.col("text")).alias("fp_rolling")
+        )
+
+    def q1_combined_search(spark, sf):
+        # full search ranking (api/main.py:367-413): tfidf + minmax(pr), pr
+        # derived deterministically from doc token counts
+        d = _t(spark, sf, "documents")
+        postings, idf, _ = tfidf.build_postings_with_idf(d, id_col="doc_id", text_col="text")
+        pr = textstats.add_token_counts(d, "text").select(
+            F.col("doc_id").alias("url"), F.col("n_tokens_re").cast("double").alias("score")
+        )
+        out = tfidf.combined_search(postings, idf, pr, "spark join table", top_k=10)
+        return out.select(
+            F.col("url").alias("doc_id"),
+            F.round("tfidf_score", 6).alias("tfidf_score"),
+            F.round("pagerank_norm", 6).alias("pagerank_norm"),
+            F.round("combined_score", 6).alias("combined_score"),
+        )
+
     def d3_minhash_lsh_pairs(spark, sf):
         d = _t(spark, sf, "documents")
         return dedupe.minhash_lsh_dedupe_pairs(d, "doc_id", "text", threshold=0.5).select(
@@ -349,6 +377,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_topk(e, k=3).select(
             "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "knn_rank"
         )
+
+    def c2_ws_normalize(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("text_norm"),
+        )
+
+    def c8_format_topk(spark, sf):
+        # S5/C8 report-line shape over the top-k result. Cross-engine note:
+        # Java's %.10f pads the shortest double repr while C/DuckDB printf
+        # expands the exact binary value, so the gate goes through an exact
+        # DECIMAL(28,10) string on both sides; the reference's literal %.10f
+        # output is exercised against the C goldens in tests/test_pagerank.py.
+        o, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+        term = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        rev = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(F.sum(term.cast("decimal(18,6)")).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+            .limit(10)
+        )
+        return rev.select(
+            F.concat(
+                F.lit("node "),
+                F.col("o_custkey").cast("string"),
+                F.lit(" : "),
+                F.col("revenue").cast("decimal(28,10)").cast("string"),
+            ).alias("line")
+        )
+
+    def x4_quality_scores(spark, sf):
+        d = _t(spark, sf, "documents")
+        return textstats.add_quality(d, "text").select(
+            "doc_id", F.round("quality", 6).alias("quality")
+        )
+
+    def w3_sliding_window_counts(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy(F.window("ts", "2 days", "1 day").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.unix_timestamp(F.col("win.start")).alias("window_epoch"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    def p2_dense_ids(spark, sf):
+        c = _t(spark, sf, "customer")
+        return graph.dense_node_ids(c.select(F.col("c_name").alias("url")))
+
+    def g4_triangles_per_vertex(spark, sf):
+        from engine.operators.triangles import triangles_per_vertex
+
+        return triangles_per_vertex(_edges(spark, sf))
 
     def p1_extraction_pipeline(spark, sf):
         # full web pipeline on the deterministic synthetic pages table:
@@ -396,7 +482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_media_meta": m1_media_meta,
         "w1_event_window_agg": w1_event_window_agg,
         "w2_session_counts": w2_session_counts,
+        "w3_sliding_window_counts": w3_sliding_window_counts,
         "g3_triangle_count": g3_triangle_count,
+        "g4_triangles_per_vertex": g4_triangles_per_vertex,
+        "c2_ws_normalize": c2_ws_normalize,
+        "c8_format_topk": c8_format_topk,
+        "x4_quality_scores": x4_quality_scores,
+        "p2_dense_ids": p2_dense_ids,
         # rows-only (iterative / hash-function-specific — no portable SQL)
         "i1_pagerank": i1_pagerank,
         "g1_connected_components": g1_connected_components,
@@ -404,6 +496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_fingerprints": d4_simhash_fingerprints,
         "sim1_cosine_topk": sim1_cosine_topk,
+        "sim3_lsh_ann_topk": sim3_lsh_ann_topk,
+        "x5_fingerprint_rolling": x5_fingerprint_rolling,
+        "q1_combined_search": q1_combined_search,
         "p1_extraction_pipeline": p1_extraction_pipeline,
     }
 
@@ -643,6 +738,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_epoch, count(*) AS n_events
             FROM g GROUP BY user_id, sid
+        """,
+        "c2_ws_normalize": """
+            SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        """,
+        "c8_format_topk": """
+            WITH rev AS (
+                SELECT o_custkey, sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS revenue
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY o_custkey
+            )
+            SELECT 'node ' || o_custkey || ' : ' || CAST(CAST(revenue AS DECIMAL(28,10)) AS VARCHAR) AS line
+            FROM rev ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+        """,
+        "x4_quality_scores": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len({_TOK}) AS n_tok,
+                       length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}]', '', 'g')) AS alnum,
+                       len(list_intersect(list_distinct({_TOK}),
+                           ['the','and','of','to','in','is','that','it','was','for','with','as','on','at','this'])) AS sw_hits
+                FROM documents
+            ), feat AS (
+                SELECT doc_id,
+                       CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0.0 END AS alnum_ratio,
+                       CASE WHEN n_tok > 0 THEN alnum / n_tok ELSE 0.0 END AS mean_wl,
+                       CASE WHEN n_chars >= 200 THEN 1.0 WHEN n_chars >= 50 THEN 0.6 ELSE 0.2 END AS len_band,
+                       sw_hits
+                FROM base
+            )
+            SELECT doc_id, CAST(round(
+                0.3 * len_band
+                + 0.25 * least(alnum_ratio * 1.25, 1.0)
+                + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.4 END)
+                + 0.25 * (CASE WHEN sw_hits >= 3 THEN 1.0 WHEN sw_hits >= 1 THEN 0.6 ELSE 0.3 END)
+            , 6) AS DOUBLE) AS quality
+            FROM feat
+        """,
+        "w3_sliding_window_counts": """
+            SELECT CAST(epoch(date_trunc('day', ts) - k * INTERVAL 1 DAY) AS BIGINT) AS window_epoch,
+                   event_type, count(*) AS n_events
+            FROM events, unnest([0, 1]) AS off(k)
+            GROUP BY 1, 2
+        """,
+        "p2_dense_ids": """
+            SELECT row_number() OVER (ORDER BY url) - 1 AS id, url
+            FROM (SELECT DISTINCT c_name AS url FROM customer)
+        """,
+        "g4_triangles_per_vertex": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM ({_EDGES_SQL}) WHERE src <> dst
+            ), tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM und e1 JOIN und e2 ON e2.u = e1.v JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), members AS (
+                SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+            )
+            SELECT id, count(*) AS triangles FROM members GROUP BY id
         """,
         "g3_triangle_count": f"""
             WITH und AS (
