@@ -14,7 +14,12 @@ shortcuts. Edge sets are kept in canonical (big, small) orientation.
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, functions as F
+
+from engine.operators._checkpoint import load_manifest, read_snapshot, snapshot_state
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -59,16 +64,42 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_rounds: int = 50,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 3,
+    resume: bool = True,
 ) -> DataFrame:
     """Returns (id BIGINT, label BIGINT), label = min node id in component.
 
     nodes: optional single-column (id) universe; isolated nodes label
     themselves. Default universe = edge endpoints.
+
+    checkpoint_dir: round-stamped Parquet snapshots of the alternation's
+    edge-set state + manifest (per-round edge counts, per-partition lineage);
+    a rerun with the same dir resumes from the last completed round — the
+    alternation is deterministic, so the resumed run converges to the same
+    star forest.
     """
     spark = edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = _canonical(edges).repartition(P, "b").persist()
+    start_round = 0
+    round_metrics: list[dict] = []
+    e = None
+    man = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        man = load_manifest(checkpoint_dir) if resume else None
+        if man and man.get("kernel") == "cc":
+            start_round = man["completed_iter"] + 1
+            round_metrics = man.get("iterations", [])
+            e = (
+                read_snapshot(spark, checkpoint_dir, man["completed_iter"])
+                .repartition(P, "b")
+                .localCheckpoint(eager=True)
+            )
+    if e is None:
+        man = None
+        e = _canonical(edges).repartition(P, "b").persist()
     n_edges = e.count()
 
     if nodes is None:
@@ -82,19 +113,33 @@ def connected_components(
     if n_edges == 0:
         return nodes.select("id", F.col("id").alias("label"))
 
-    for _ in range(max_rounds):
-        e_new = _small_star(_large_star(e)).repartition(P, "b").persist()
-        cnt_new = e_new.count()
-        # exact convergence: same cardinality and E_new ⊆ E  ⇒  E_new == E
-        stable = cnt_new == n_edges and e_new.join(
-            e, ["b", "s"], "left_anti"
-        ).count() == 0
-        e.unpersist()
-        e, n_edges = e_new, cnt_new
-        # truncate lineage each round (the edge set is small after a few rounds)
-        e = e.localCheckpoint(eager=True)
-        if stable:
-            break
+    if not (man and man.get("converged")):
+        for rnd in range(start_round, max_rounds):
+            t0 = time.time()
+            e_new = _small_star(_large_star(e)).repartition(P, "b").persist()
+            cnt_new = e_new.count()
+            # exact convergence: same cardinality and E_new ⊆ E  ⇒  E_new == E
+            stable = cnt_new == n_edges and e_new.join(
+                e, ["b", "s"], "left_anti"
+            ).count() == 0
+            e.unpersist()
+            e, n_edges = e_new, cnt_new
+            # truncate lineage each round (the edge set is small after a few rounds)
+            e = e.localCheckpoint(eager=True)
+            round_metrics.append(
+                {"iter": rnd, "edges": n_edges, "wall_sec": round(time.time() - t0, 4)}
+            )
+            if checkpoint_dir and (
+                stable or rnd == max_rounds - 1 or rnd % checkpoint_every == checkpoint_every - 1
+            ):
+                snapshot_state(
+                    e,
+                    checkpoint_dir,
+                    rnd,
+                    {"kernel": "cc", "converged": stable, "iterations": round_metrics},
+                )
+            if stable:
+                break
 
     # converged star forest: (b=node, s=root). Roots/isolated label themselves.
     labels = nodes.join(

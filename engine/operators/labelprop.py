@@ -12,7 +12,12 @@ Per round: one join (adjacency ⋈ labels) + one two-level aggregate
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, functions as F
+
+from engine.operators._checkpoint import load_manifest, read_snapshot, snapshot_state
 
 
 def label_propagation(
@@ -21,6 +26,9 @@ def label_propagation(
     max_iter: int = 20,
     num_partitions: int | None = None,
     broadcast_labels: bool | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = True,
 ) -> DataFrame:
     """Returns (id BIGINT, label BIGINT) at convergence (or max_iter).
 
@@ -29,6 +37,11 @@ def label_propagation(
     aggregates run in one exchange-free stage (hash(u) clusters every
     grouping key set) — same strategy as pagerank's broadcast gather.
     False → shuffle join on v. None → auto by node count.
+
+    checkpoint_dir: iteration-stamped Parquet label snapshots + manifest
+    (per-round changed-counts, per-partition lineage) — a rerun with the
+    same dir resumes from the last completed round (synchronous rounds +
+    min tie-break make the resumed trajectory identical).
     """
     from engine.operators.pagerank import BROADCAST_NODE_LIMIT
 
@@ -62,10 +75,32 @@ def label_propagation(
     )
     adj.count()
 
-    labels = nodes.select("id", F.col("id").alias("label")).persist()
-    labels.count()
+    start_iter = 0
+    round_metrics: list[dict] = []
+    labels = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        man = load_manifest(checkpoint_dir) if resume else None
+        if man and man.get("kernel") == "labelprop" and man.get("n") == n:
+            start_iter = man["completed_iter"] + 1
+            round_metrics = man.get("iterations", [])
+            labels = (
+                read_snapshot(spark, checkpoint_dir, man["completed_iter"])
+                .repartition(P, "id")
+                .localCheckpoint(eager=True)
+            )
+            if man.get("converged"):
+                adj.unpersist()
+                nodes.unpersist()
+                return labels
+    if labels is None:
+        labels = nodes.select("id", F.col("id").alias("label")).persist()
+        labels.count()
 
-    for it in range(max_iter):
+    it = start_iter - 1
+    changed = -1
+    for it in range(start_iter, max_iter):
+        t0 = time.time()
         lbl_v = labels.withColumnRenamed("id", "v")
         if broadcast_labels:
             lbl_v = F.broadcast(lbl_v)
@@ -86,6 +121,23 @@ def label_propagation(
         labels.unpersist()
         labels = new_labels.select("id", "label").localCheckpoint(eager=True)
         new_labels.unpersist()
+        round_metrics.append(
+            {"iter": it, "changed": changed, "wall_sec": round(time.time() - t0, 4)}
+        )
+        if checkpoint_dir and (
+            changed == 0 or it == max_iter - 1 or it % checkpoint_every == checkpoint_every - 1
+        ):
+            snapshot_state(
+                labels,
+                checkpoint_dir,
+                it,
+                {
+                    "kernel": "labelprop",
+                    "n": n,
+                    "converged": changed == 0,
+                    "iterations": round_metrics,
+                },
+            )
         if changed == 0:
             break
 

@@ -67,20 +67,8 @@ def _shuffle_totals(spark) -> dict:
         return {}
 
 
-def _load_manifest(checkpoint_dir: str) -> dict | None:
-    path = os.path.join(checkpoint_dir, "manifest.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
-    return None
-
-
-def _save_manifest(checkpoint_dir: str, manifest: dict) -> None:
-    path = os.path.join(checkpoint_dir, "manifest.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, path)
+from engine.operators._checkpoint import load_manifest as _load_manifest
+from engine.operators._checkpoint import snapshot_state as _snapshot_state
 
 
 BROADCAST_NODE_LIMIT = 4_000_000  # ranks table ≈ 16 B/row → ≤ ~64 MB broadcast
@@ -316,26 +304,26 @@ def pagerank(
                 )
                 base_shuffle = cur_shuffle
         if checkpoint_dir and (it % checkpoint_every == checkpoint_every - 1 or last_round):
-            snap = os.path.join(checkpoint_dir, f"iter={it}")
-            r.select("id", "rank").write.mode("overwrite").parquet(snap)
+            snap = _snapshot_state(
+                r.select("id", "rank"),
+                checkpoint_dir,
+                it,
+                {
+                    "kernel": "pagerank",
+                    "n": n,
+                    "m": num_edges,
+                    "alpha": alpha,
+                    "tol": tol,
+                    "dangling_mass": dangling_mass,
+                    "iterations": metrics,
+                },
+            )
             r = (
                 spark.read.parquet(snap)
                 .join(node_info, "id")
                 .select("id", "rank", "is_dangling")
                 .repartition(P, "id")
                 .localCheckpoint(eager=True)
-            )
-            _save_manifest(
-                checkpoint_dir,
-                {
-                    "n": n,
-                    "m": num_edges,
-                    "alpha": alpha,
-                    "tol": tol,
-                    "completed_iter": it,
-                    "dangling_mass": dangling_mass,
-                    "iterations": metrics,
-                },
             )
         if delta < tol:
             converged = True

@@ -105,3 +105,48 @@ def test_cc_reference_1k_graph(spark):
     got = {r.id: r.label for r in connected_components(_edges_df(spark, edges)).collect()}
     exp = connected_components_py(edges)
     assert got == exp
+
+
+def test_cc_checkpoint_resume_identical(spark, tmp_path):
+    edges = _sparse_graph(n=300, m=380, seed=11)
+    df = _edges_df(spark, edges)
+    full = {r.id: r.label for r in connected_components(df).collect()}
+
+    ck = str(tmp_path / "cc_ck")
+    # partial run: stop after 1 round (star alternation needs more to converge)
+    partial = connected_components(df, max_rounds=1, checkpoint_dir=ck, checkpoint_every=1)
+    partial.count()
+    resumed = {
+        r.id: r.label
+        for r in connected_components(df, checkpoint_dir=ck, checkpoint_every=1).collect()
+    }
+    assert resumed == full
+
+    import json, os
+    man = json.load(open(os.path.join(ck, "manifest.json")))
+    assert man["kernel"] == "cc" and man["converged"]
+    assert man["iterations"][0]["iter"] == 0  # history spans the partial run
+    assert man["snapshot_partitions"] and all(
+        p["bytes"] > 0 for p in man["snapshot_partitions"]
+    )
+
+
+def test_lp_checkpoint_resume_identical(spark, tmp_path):
+    edges = _sparse_graph(n=250, m=600, seed=23)
+    df = _edges_df(spark, edges)
+    full = {r.id: r.label for r in label_propagation(df, max_iter=10).collect()}
+
+    ck = str(tmp_path / "lp_ck")
+    partial = label_propagation(df, max_iter=2, checkpoint_dir=ck, checkpoint_every=1)
+    partial.count()
+    resumed = {
+        r.id: r.label
+        for r in label_propagation(df, max_iter=10, checkpoint_dir=ck, checkpoint_every=1).collect()
+    }
+    assert resumed == full
+
+    import json, os
+    man = json.load(open(os.path.join(ck, "manifest.json")))
+    assert man["kernel"] == "labelprop"
+    assert [m["iter"] for m in man["iterations"]] == list(range(len(man["iterations"])))
+    assert man["snapshot_partitions"]
