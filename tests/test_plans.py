@@ -1,0 +1,92 @@
+"""Plan-shape regression tests: the scale-critical physical-plan properties
+the engine claims (SURVEY §4, tools/explain_plans.py) are asserted here so a
+refactor can't silently reintroduce a shuffle or a Python boundary."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine.operators import tfidf, textstats
+from engine.plans import inspect as pi
+
+SF = "/root/testdata/sf0.001"
+
+
+def _adj(spark, partitions=8):
+    edges = spark.createDataFrame(
+        [(i % 97, (i * 7) % 97) for i in range(500)], "src long, dst long"
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .repartition(partitions, "dst")
+        .persist()
+    )
+    adj.count()
+    return adj
+
+
+def test_broadcast_gather_is_exchange_free(spark):
+    """The per-iteration SpMV of the broadcast path: join + partial agg +
+    final agg satisfied by the cached adjacency's dst-partitioning — zero
+    shuffle Exchanges in the live (re-executed) path."""
+    adj = _adj(spark)
+    ranks = spark.range(97).select(F.col("id").alias("src"), F.lit(1.0 / 97).alias("rank"))
+    gathered = (
+        adj.join(F.broadcast(ranks), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("gathered"))
+    )
+    assert pi.count_exchanges(gathered, live_only=True) == 0
+    assert not pi.has_python_eval(gathered)
+    adj.unpersist()
+
+
+def test_salted_gather_two_level_aggregate(spark):
+    """Shuffle path with salt: partial agg on (dst, salt) then final on dst —
+    exactly one shuffle Exchange in the live path (the gather itself; the
+    salted partial is satisfied map-side)."""
+    adj = _adj(spark)
+    ranks = spark.range(97).select(F.col("id").alias("src"), F.lit(1.0 / 97).alias("rank"))
+    partial = (
+        adj.join(F.broadcast(ranks), "src")
+        .groupBy("dst", F.pmod(F.hash("src"), F.lit(8)).alias("_salt"))
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("psum"))
+    )
+    gathered = partial.groupBy("dst").agg(F.sum("psum").alias("gathered"))
+    assert pi.count_exchanges(gathered, live_only=True) <= 1
+    adj.unpersist()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    pf = pi.pushed_filters(q)
+    assert "GreaterThan(l_quantity" in pf
+    rs = pi.read_schema(q)
+    assert "l_orderkey" in rs and "l_comment" not in rs
+
+
+def test_text_paths_are_pure_catalyst(spark):
+    """Tokenization / TF-IDF / textstats never cross into Python."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    postings = tfidf.build_postings(docs, "doc_id", "text")
+    assert not pi.has_python_eval(postings)
+    stats = textstats.add_langid(textstats.add_quality(docs))
+    assert not pi.has_python_eval(stats)
+    postings.collect()  # finalize the adaptive plan so codegen ids exist
+    assert pi.codegen_stage_count(postings) >= 1
+
+
+def test_extraction_is_arrow_batched(spark):
+    """The one place Python IS allowed: the html extraction UDF — and it must
+    be the Arrow-batched eval, not row-at-a-time BatchEvalPython."""
+    from engine import datagen
+    from engine.operators import graph
+
+    pages = datagen.generate_pages_df(spark, 20, seed=1, partitions=2)
+    ex = graph.extract_pages(pages)
+    plan = pi.physical_plan(ex)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python would be a regression
