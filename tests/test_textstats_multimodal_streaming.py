@@ -165,3 +165,42 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
         assert final[u][1] == pytest.approx(batch[u][1], rel=1e-9)
     # state really spanned multiple batches: more emissions than users
     assert emitted.count() > len(batch)
+
+
+def test_stream_extract_edges_matches_batch(spark, tmp_path):
+    """Incremental ingest: pages arriving in chunks produce exactly the batch
+    pipeline's edge multiset; a restart with the same checkpoint is a no-op
+    (exactly-once per input file)."""
+    from engine import datagen
+    from engine.operators import graph
+    from engine.streaming import ingest
+
+    pages = datagen.generate_pages_df(spark, 120, seed=9, partitions=3)
+    pages_dir = str(tmp_path / "pages_in")
+    pages.write.parquet(pages_dir)  # 3 files -> multiple micro-batches
+
+    out = str(tmp_path / "edges_out")
+    ck = str(tmp_path / "ingest_ck")
+    stream = ingest.read_pages_stream(spark, pages_dir, max_files=1)
+    q = ingest.stream_extract_edges(
+        stream, out, ck, base_domain=datagen.BASE_DOMAIN
+    )
+    q.awaitTermination(180)
+
+    batch = graph.build_edges_url(
+        graph.extract_pages(spark.read.parquet(pages_dir)),
+        base_domain=datagen.BASE_DOMAIN,
+    )
+    got = sorted((r.src, r.dst) for r in spark.read.parquet(out).collect())
+    exp = sorted((r.src, r.dst) for r in batch.collect())
+    assert got == exp and len(got) > 0
+
+    # restart with the same checkpoint: no new files -> no new rows
+    q2 = ingest.stream_extract_edges(
+        ingest.read_pages_stream(spark, pages_dir, max_files=1),
+        out,
+        ck,
+        base_domain=datagen.BASE_DOMAIN,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(got)
