@@ -265,6 +265,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
         )
 
+    def d5_drop_near_duplicates(spark, sf):
+        # verified-pair graph -> CC clustering -> keep min-id representative
+        d = _t(spark, sf, "documents")
+        pairs = dedupe.token_jaccard_pairs(d, "doc_id", "text", threshold=0.5, shingle_n=2)
+        return dedupe.drop_near_duplicates(d, pairs, id_col="doc_id").select("doc_id")
+
     def sim2_embedding_near_dup(spark, sf):
         e = _t(spark, sf, "embeddings")
         return similarity.embedding_near_duplicates(e, threshold=0.35).select(
@@ -475,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_query_scores": tfidf_query_scores,
         "d1_dedup_exact_text": d1_dedup_exact_text,
         "d2_token_jaccard_pairs": d2_token_jaccard_pairs,
+        "d5_drop_near_duplicates": d5_drop_near_duplicates,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "x1_token_counts": x1_token_counts,
         "x2_fingerprint_md5": x2_fingerprint_md5,
@@ -680,6 +687,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(i / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
             FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
             WHERE i / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "d5_drop_near_duplicates": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, {_TOK} AS l FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(CASE WHEN len(l) >= 2
+                    THEN list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+                    ELSE [array_to_string(l, ' ')] END)) AS shingle
+                FROM toks
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), jac AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+                WHERE i / (sa.sz + sb.sz - i) >= 0.5
+            ), pe AS (
+                SELECT id_a AS a, id_b AS b FROM jac
+                UNION ALL SELECT id_b, id_a FROM jac
+            ), reach(a, b) AS (
+                SELECT a, b FROM pe
+                UNION
+                SELECT r.a, pe.b FROM reach r JOIN pe ON r.b = pe.a
+            ), mins AS (
+                SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a
+            )
+            SELECT d.doc_id FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+            WHERE m.mn IS NULL OR m.mn >= d.doc_id
         """,
         "sim2_embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
