@@ -2,7 +2,7 @@
 
     spark-submit --py-files engine.zip jobs/kernels_job.py \
         --edges /path --format parquet|text --out /path/outdir \
-        [--kernels cc,lp,tri --max-iter 50 --partitions P]
+        [--kernels cc,lp,tri --max-iter 50 --partitions P --checkpoint-dir DIR]
 
 Writes one Parquet per kernel plus kernels.json with iteration/convergence
 metadata:
@@ -30,6 +30,7 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--kernels", default="cc,lp,tri")
     ap.add_argument("--max-iter", type=int, default=50)
+    ap.add_argument("--checkpoint-dir", default=None, help="resume CC/LP from snapshots under DIR/cc, DIR/lp")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -56,12 +57,14 @@ def main(argv=None):
 
     if "cc" in wanted:
         t0 = time.time()
-        cc = connected_components(edges, max_rounds=args.max_iter)
+        cc_ck = os.path.join(args.checkpoint_dir, "cc") if args.checkpoint_dir else None
+        cc = connected_components(edges, max_rounds=args.max_iter, checkpoint_dir=cc_ck)
         cc.write.mode("overwrite").parquet(os.path.join(args.out, "cc"))
         meta["cc_sec"] = round(time.time() - t0, 3)
     if "lp" in wanted:
         t0 = time.time()
-        lp = label_propagation(edges, max_iter=args.max_iter)
+        lp_ck = os.path.join(args.checkpoint_dir, "lp") if args.checkpoint_dir else None
+        lp = label_propagation(edges, max_iter=args.max_iter, checkpoint_dir=lp_ck)
         lp.write.mode("overwrite").parquet(os.path.join(args.out, "lp"))
         meta["lp_sec"] = round(time.time() - t0, 3)
     if "tri" in wanted:
