@@ -437,6 +437,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = _t(spark, sf, "customer")
         return graph.dense_node_ids(c.select(F.col("c_name").alias("url")))
 
+    def g5_bfs_levels(spark, sf):
+        from engine.operators.bfs import bfs_levels
+
+        src = spark.createDataFrame([(0,)], "id long")
+        out = bfs_levels(_edges(spark, sf), src, max_depth=20)
+        return out.select("id", F.col("dist").cast("long").alias("dist"))
+
     def g4_triangles_per_vertex(spark, sf):
         from engine.operators.triangles import triangles_per_vertex
 
@@ -492,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_sliding_window_counts": w3_sliding_window_counts,
         "g3_triangle_count": g3_triangle_count,
         "g4_triangles_per_vertex": g4_triangles_per_vertex,
+        "g5_bfs_levels": g5_bfs_levels,
         "c2_ws_normalize": c2_ws_normalize,
         "c8_format_topk": c8_format_topk,
         "x4_quality_scores": x4_quality_scores,
@@ -836,6 +844,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
             )
             SELECT id, count(*) AS triangles FROM members GROUP BY id
+        """,
+        "g5_bfs_levels": f"""
+            WITH RECURSIVE e AS ({_EDGES_SQL}),
+            walk(id, dist) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id
+                WHERE w.dist < 20
+            )
+            SELECT id, min(dist) AS dist FROM walk GROUP BY id
         """,
         "g3_triangle_count": f"""
             WITH und AS (

@@ -1,0 +1,54 @@
+"""Frontier BFS over the edge table (unweighted shortest hop distance).
+
+The reference's crawl loop is a BFS frontier with a visited set
+(crawler/core.py:239-318: deque + `if target not in visited`); with no live
+crawling in scope, the same pattern is realized as a graph operator — per
+round: frontier ⋈ edges gather, `distinct`, anti-join against visited
+(SURVEY §2.3-J5), union into visited. Lineage is truncated every round
+(eager localCheckpoint), mirroring the iterative kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Hop distance from any source along directed edges.
+
+    edges: (src, dst); sources: single-column (id) seed set.
+    Returns (id BIGINT, dist INT) for every reachable node (sources dist 0);
+    unreachable nodes are absent — left-join against the node universe for
+    the crawl-style 'never visited' view.
+    """
+    spark = edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(P, "src")
+
+    visited = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("id")
+
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited

@@ -150,3 +150,27 @@ def test_lp_checkpoint_resume_identical(spark, tmp_path):
     assert man["kernel"] == "labelprop"
     assert [m["iter"] for m in man["iterations"]] == list(range(len(man["iterations"])))
     assert man["snapshot_partitions"]
+
+
+def test_bfs_levels_vs_python_oracle(spark):
+    from collections import deque
+
+    from engine.operators.bfs import bfs_levels
+
+    edges = _sparse_graph(n=200, m=400, seed=31)
+    df = _edges_df(spark, edges)
+    src = spark.createDataFrame([(0,), (5,)], "id long")
+    got = {r.id: r.dist for r in bfs_levels(df, src).collect()}
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    dist = {0: 0, 5: 0}
+    q = deque([0, 5])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == dist
