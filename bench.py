@@ -65,8 +65,14 @@ def main():
     )
 
     # --- graph kernels ---
+    from engine.operators.labelprop import label_propagation
+    from engine.operators.bfs import bfs_levels
+
     timed("connected_components", lambda: connected_components(edges).count())
+    timed("label_propagation", lambda: label_propagation(edges, max_iter=5).count())
     timed("triangle_count", lambda: triangle_count(edges).collect())
+    src0 = spark.createDataFrame([(0,)], "id long")
+    timed("bfs_levels", lambda: bfs_levels(edges, src0).count())
 
     # --- relational / gather ---
     timed("gather_revenue", lambda: contract.queries()["j4_salted_gather_revenue"](spark, SF_DIR).count())
