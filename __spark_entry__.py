@@ -334,6 +334,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = pagerank(_edges(spark, sf), tol=1e-8, max_iter=100)
         return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
+    def i2_personalized_pagerank(spark, sf):
+        pers = spark.createDataFrame([(0, 5.0), (7, 3.0), (13, 2.0)], "id long, weight double")
+        res = pagerank(_edges(spark, sf), tol=1e-8, max_iter=100, personalization=pers)
+        return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+    def g6_hits(spark, sf):
+        from engine.operators.hits import hits
+
+        res = hits(_edges(spark, sf), tol=1e-8, max_iter=60)
+        return res.scores.select(
+            "id", F.round("hub", 8).alias("hub"), F.round("authority", 8).alias("authority")
+        )
+
     def g1_connected_components(spark, sf):
         return connected_components(_edges(spark, sf))
 
@@ -506,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_dense_ids": p2_dense_ids,
         # rows-only (iterative / hash-function-specific — no portable SQL)
         "i1_pagerank": i1_pagerank,
+        "i2_personalized_pagerank": i2_personalized_pagerank,
+        "g6_hits": g6_hits,
         "g1_connected_components": g1_connected_components,
         "g2_label_propagation": g2_label_propagation,
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,

@@ -87,6 +87,7 @@ def pagerank(
     resume: bool = True,
     broadcast_ranks: bool | None = None,
     check_every: int = 1,
+    personalization: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank over an edge table (src BIGINT, dst BIGINT).
 
@@ -114,6 +115,13 @@ def pagerank(
     the update as a lazy broadcast 1-row aggregate of the current vector.
     With k > 1, per-iteration metrics carry delta/Σrank only on check
     iterations.
+
+    personalization: optional (id, weight) teleport distribution (normalized
+    to Σ=1 internally; missing ids get weight 0). Standard personalized
+    PageRank: r_new[i] = α·(gather_i + dm·p_i) + (1−α)·p_i, init r = p —
+    dangling mass redistributes along p, not uniformly. None (default)
+    preserves the reference's uniform recurrence with the exact same scalar
+    expressions (bit-identical to previous behavior).
     """
     spark = edges.sparkSession
     sc = spark.sparkContext
@@ -154,13 +162,23 @@ def pagerank(
     )
     num_edges = adj.count()  # materialize
 
-    node_info = (
-        nodes.select("id")
-        .join(out_deg.select(F.col("src").alias("id"), "deg"), "id", "left")
-        .select("id", F.col("deg").isNull().alias("is_dangling"))
-        .repartition(P, "id")
-        .persist()
-    )
+    node_info = nodes.select("id").join(
+        out_deg.select(F.col("src").alias("id"), "deg"), "id", "left"
+    ).select("id", F.col("deg").isNull().alias("is_dangling"))
+    if personalization is not None:
+        ptotal = personalization.agg(
+            F.sum(personalization.columns[1]).alias("t")
+        ).collect()[0]["t"]
+        if not ptotal or ptotal <= 0:
+            raise ValueError("personalization weights must sum to > 0")
+        pw = personalization.select(
+            F.col(personalization.columns[0]).alias("id"),
+            (F.col(personalization.columns[1]) / F.lit(float(ptotal))).alias("pw"),
+        )
+        node_info = node_info.join(pw, "id", "left").select(
+            "id", "is_dangling", F.coalesce("pw", F.lit(0.0)).alias("pw")
+        )
+    node_info = node_info.repartition(P, "id").persist()
     n = node_info.count()
     teleport = (1.0 - alpha) / n
 
@@ -187,8 +205,9 @@ def pagerank(
                 .localCheckpoint(eager=True)
             )
     if r is None:
+        init_rank = F.col("pw") if personalization is not None else F.lit(1.0 / n)
         r = node_info.select(
-            "id", F.lit(1.0 / n).alias("rank"), "is_dangling"
+            "id", init_rank.alias("rank"), "is_dangling"
         ).localCheckpoint(eager=True)
 
     converged = False
@@ -234,21 +253,26 @@ def pagerank(
                 .agg(F.sum(F.col("rank") * F.col("w")).alias("gathered"))
             )
 
+        if personalization is not None:
+            # PPR: dangling mass and teleport both follow the p vector
+            update_expr = (
+                F.lit(alpha)
+                * (F.coalesce(F.col("gathered"), F.lit(0.0)) + F.col("_dm") * F.col("pw"))
+                + F.lit(1.0 - alpha) * F.col("pw")
+            )
+        else:
+            update_expr = (
+                F.lit(alpha)
+                * (
+                    F.coalesce(F.col("gathered"), F.lit(0.0))
+                    + F.col("_dm") / F.lit(float(n))
+                )
+                + F.lit(teleport)
+            )
         r_new = (
             node_info.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
             .crossJoin(F.broadcast(dm_df))
-            .select(
-                "id",
-                (
-                    F.lit(alpha)
-                    * (
-                        F.coalesce(F.col("gathered"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n))
-                    )
-                    + F.lit(teleport)
-                ).alias("rank"),
-                "is_dangling",
-            )
+            .select("id", update_expr.alias("rank"), "is_dangling")
         )
         # truncate lineage EVERY iteration: without this the logical plan
         # grows linearly and Catalyst re-analysis becomes the per-iteration

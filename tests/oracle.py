@@ -178,3 +178,71 @@ def tfidf_search_py(docs, query, top_k=10):
     results = [(d, dot / (q_norm * norms.get(d, 1.0))) for d, dot in scores.items()]
     results.sort(key=lambda x: x[1], reverse=True)
     return results[:top_k]
+
+
+def personalized_pagerank_numpy(edges, personalization, n=None, alpha=0.85, tol=1e-8, max_iter=100):
+    """PPR recurrence matching engine.operators.pagerank(personalization=...):
+    r init = p; r_new = alpha*(gather + dm*p) + (1-alpha)*p; final Σ=1.
+    personalization: dict id -> weight (normalized here)."""
+    edges = list(edges)
+    if n is None:
+        n = max(max(u, v) for u, v in edges) + 1
+    p = np.zeros(n)
+    for i, wgt in personalization.items():
+        p[i] = wgt
+    p = p / p.sum()
+    outdeg = np.zeros(n, dtype=np.int64)
+    for u, _ in edges:
+        outdeg[u] += 1
+    is_dangling = outdeg == 0
+    src = np.array([u for u, _ in edges], dtype=np.int64)
+    dst = np.array([v for _, v in edges], dtype=np.int64)
+    w = 1.0 / outdeg[src]
+    r = p.copy()
+    converged = False
+    it = -1
+    for it in range(max_iter):
+        dm = r[is_dangling].sum()
+        gathered = np.zeros(n)
+        np.add.at(gathered, dst, w * r[src])
+        r_new = alpha * (gathered + dm * p) + (1.0 - alpha) * p
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        if delta < tol:
+            converged = True
+            break
+    total = r.sum()
+    if total > 0:
+        r = r / total
+    return r, it + 1, converged
+
+
+def hits_numpy(edges, n=None, tol=1e-8, max_iter=100):
+    """HITS (Kleinberg): a = L2norm(A^T h); h = L2norm(A a); init h = 1/sqrt(n).
+    Returns (hub ndarray, authority ndarray, iterations, converged)."""
+    edges = list(set(edges))  # simple graph
+    if n is None:
+        n = max(max(u, v) for u, v in edges) + 1
+    src = np.array([u for u, _ in edges], dtype=np.int64)
+    dst = np.array([v for _, v in edges], dtype=np.int64)
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    converged = False
+    it = -1
+    for it in range(max_iter):
+        a_new = np.zeros(n)
+        np.add.at(a_new, dst, h[src])
+        na = np.sqrt((a_new ** 2).sum())
+        if na > 0:
+            a_new /= na
+        h_new = np.zeros(n)
+        np.add.at(h_new, src, a_new[dst])
+        nh = np.sqrt((h_new ** 2).sum())
+        if nh > 0:
+            h_new /= nh
+        delta = np.abs(h_new - h).sum() + np.abs(a_new - a).sum()
+        h, a = h_new, a_new
+        if delta < tol:
+            converged = True
+            break
+    return h, a, it + 1, converged

@@ -174,3 +174,26 @@ def test_bfs_levels_vs_python_oracle(spark):
                 dist[v] = dist[u] + 1
                 q.append(v)
     assert got == dist
+
+
+def test_hits_vs_numpy_oracle(spark):
+    from engine.operators.hits import hits
+    from oracle import hits_numpy
+
+    edges = _load_edges(REF_1K, limit=3000)
+    df = _edges_df(spark, edges)
+    # identical deterministic recurrence both sides -> compare after the
+    # same number of iterations (full convergence to 1e-9 takes hundreds of
+    # rounds on this graph's eigengap; trajectory equality is the contract)
+    res = hits(df, tol=1e-12, max_iter=40)
+    h_exp, a_exp, iters, conv = hits_numpy(edges, tol=1e-12, max_iter=40)
+    assert res.iterations == iters == 40
+    got = {r.id: (r.hub, r.authority) for r in res.scores.collect()}
+    import numpy as np
+
+    for i, (hh, aa) in got.items():
+        assert abs(hh - h_exp[i]) < 1e-7
+        assert abs(aa - a_exp[i]) < 1e-7
+    # L2 norms are 1
+    assert abs(sum(v[0] ** 2 for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] ** 2 for v in got.values()) - 1.0) < 1e-9

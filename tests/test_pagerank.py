@@ -150,3 +150,32 @@ def test_parse_topk_report_scan(spark):
     rows = {r.id: r.score for r in df.collect()}
     assert rows[542] == pytest.approx(0.0026460511, abs=1e-12)
     assert len(rows) == 10
+
+
+def test_personalized_pagerank_vs_oracle(spark):
+    from oracle import personalized_pagerank_numpy
+
+    edges = _load_edges(REF_1K)[:3000]
+    df = _edges_df(spark, edges)
+    pers = {3: 5.0, 10: 3.0, 42: 2.0}
+    pdf = spark.createDataFrame(list(pers.items()), "id long, weight double")
+    res = pagerank(df, tol=1e-10, max_iter=120, personalization=pdf)
+    expected, iters, conv = personalized_pagerank_numpy(edges, pers, tol=1e-10, max_iter=120)
+    n = res.num_nodes
+    assert res.converged and conv
+    got = _ranks_array(res, n)
+    assert np.allclose(got, expected, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9
+    # teleport concentration: seeded nodes outrank the typical node
+    assert got[3] > got.mean() * 3
+
+
+def test_uniform_personalization_equals_default(spark):
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]
+    df = _edges_df(spark, edges)
+    uni = spark.createDataFrame([(i, 1.0) for i in range(4)], "id long, weight double")
+    plain = pagerank(df, tol=1e-12, max_iter=200)
+    pers = pagerank(df, tol=1e-12, max_iter=200, personalization=uni)
+    assert np.allclose(
+        _ranks_array(plain, 4), _ranks_array(pers, 4), atol=1e-12
+    )
