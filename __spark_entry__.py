@@ -255,6 +255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("url").alias("doc_id"), F.round("tfidf_score", 6).alias("score")
         )
 
+    def c7_snippets(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id", tfidf.snippet_col(F.col("text"), "table", window=80).alias("snippet")
+        )
+
     def d1_dedup_exact_text(spark, sf):
         d = _t(spark, sf, "documents")
         return dedupe.dedupe_exact_text(d, "doc_id", "text").select("doc_id")
@@ -496,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_except": u2_except,
         "c6_math_scalars": c6_math_scalars,
         "c1_tokens_distinct": c1_tokens_distinct,
+        "c7_snippets": c7_snippets,
         "tfidf_postings": tfidf_postings,
         "tfidf_doc_norms": tfidf_doc_norms,
         "tfidf_query_scores": tfidf_query_scores,
@@ -689,6 +696,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, CAST(round(d.dot / (qn.qnorm * norms.nrm), 6) AS DOUBLE) AS score
             FROM dots d, qn JOIN norms ON d.doc_id = norms.doc_id
+        """,
+        "c7_snippets": """
+            SELECT doc_id, CASE WHEN position('table' IN lower(text)) > 0
+                THEN '…' || substring(text, greatest(position('table' IN lower(text)) - 40, 1), 80) || '…'
+                ELSE substring(text, 1, 80) END AS snippet
+            FROM documents
         """,
         "d1_dedup_exact_text": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "d2_token_jaccard_pairs": f"""
