@@ -204,3 +204,57 @@ def test_stream_extract_edges_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(got)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark across two checkpointed
+    runs: the watermark persisted by run 1 drops run 2's late event."""
+    import datetime as dt
+    import glob
+    import os
+
+    t0 = dt.datetime(2025, 3, 1, 0, 0, 0)
+    stream_dir = str(tmp_path / "late_events")
+    out_dir = str(tmp_path / "late_out")
+    ck = str(tmp_path / "late_ck")
+    os.makedirs(stream_dir)
+
+    def add_chunk(name, rows):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, ev.EVENTS_SCHEMA).coalesce(1).write.parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(stage, part), os.path.join(stream_dir, f"{name}.parquet"))
+
+    def run_once():
+        stream = ev.read_event_stream(spark, stream_dir, max_files=1)
+        agg = ev.windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")  # emits only watermark-finalized windows
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: two on-time events in window t0 + one at t0+3h -> watermark t0+2h
+    add_chunk("a", [
+        (1, t0 + dt.timedelta(minutes=5), 1, "c", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 1, "c", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=3), 1, "c", 1.0, "{}"),
+    ])
+    run_once()
+
+    # run 2: a LATE event back in window t0 (behind the persisted watermark)
+    # and an on-time one at t0+3h10m
+    add_chunk("b", [
+        (4, t0 + dt.timedelta(minutes=20), 1, "c", 1.0, "{}"),
+        (5, t0 + dt.timedelta(hours=3, minutes=10), 1, "c", 1.0, "{}"),
+    ])
+    run_once()
+
+    assert glob.glob(f"{out_dir}/*.parquet") or glob.glob(f"{out_dir}/**/*.parquet")
+    got = {r.window_start: r.n_events for r in spark.read.parquet(out_dir).collect()}
+    # window [t0, t0+1h) finalized with ONLY the on-time events; #4 dropped
+    assert got.get(t0) == 2
