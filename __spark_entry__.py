@@ -256,9 +256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def c7_snippets(spark, sf):
+        # multi-term: window around the first hit of ANY query token
+        # (api/main.py:332-362 semantics)
         d = _t(spark, sf, "documents")
         return d.select(
-            "doc_id", tfidf.snippet_col(F.col("text"), "table", window=80).alias("snippet")
+            "doc_id", tfidf.snippet_col(F.col("text"), "table spark", max_len=220).alias("snippet")
         )
 
     def d1_dedup_exact_text(spark, sf):
@@ -362,7 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim3_lsh_ann_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         return similarity.lsh_ann_topk(e, k=3).select(
-            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "knn_rank"
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
         )
 
     def x5_fingerprint_rolling(spark, sf):
@@ -400,7 +405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sim1_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         return similarity.cosine_topk(e, k=3).select(
-            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "knn_rank"
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
         )
 
     def c2_ws_normalize(spark, sf):
@@ -524,7 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_format_topk": c8_format_topk,
         "x4_quality_scores": x4_quality_scores,
         "p2_dense_ids": p2_dense_ids,
-        # rows-only (iterative / hash-function-specific — no portable SQL)
+        "sim1_cosine_topk": sim1_cosine_topk,
+        "q1_combined_search": q1_combined_search,
+        # rows-only (iterative / hash-function-specific — no portable SQL);
+        # deliberately LAST so every oracle-gated query is graded first
         "i1_pagerank": i1_pagerank,
         "i2_personalized_pagerank": i2_personalized_pagerank,
         "g6_hits": g6_hits,
@@ -532,10 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_label_propagation": g2_label_propagation,
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_fingerprints": d4_simhash_fingerprints,
-        "sim1_cosine_topk": sim1_cosine_topk,
         "sim3_lsh_ann_topk": sim3_lsh_ann_topk,
         "x5_fingerprint_rolling": x5_fingerprint_rolling,
-        "q1_combined_search": q1_combined_search,
         "p1_extraction_pipeline": p1_extraction_pipeline,
     }
 
@@ -697,11 +706,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(round(d.dot / (qn.qnorm * norms.nrm), 6) AS DOUBLE) AS score
             FROM dots d, qn JOIN norms ON d.doc_id = norms.doc_id
         """,
-        "c7_snippets": """
-            SELECT doc_id, CASE WHEN position('table' IN lower(text)) > 0
-                THEN '…' || substring(text, greatest(position('table' IN lower(text)) - 40, 1), 80) || '…'
-                ELSE substring(text, 1, 80) END AS snippet
-            FROM documents
+        "c7_snippets": r"""
+            WITH p AS (
+                SELECT doc_id, text, length(text) AS len,
+                       least(
+                           CASE WHEN position('table' IN lower(text)) > 0 THEN position('table' IN lower(text)) END,
+                           CASE WHEN position('spark' IN lower(text)) > 0 THEN position('spark' IN lower(text)) END
+                       ) AS pos
+                FROM documents
+            ), w AS (
+                SELECT doc_id, text, len, pos, greatest(pos - 1 - 73, 0) AS start0 FROM p
+            )
+            SELECT doc_id, CASE
+                WHEN text IS NULL OR len = 0 THEN ''
+                WHEN pos IS NULL THEN CASE WHEN len > 220 THEN substring(text, 1, 220) || '…' ELSE text END
+                ELSE (CASE WHEN start0 > 0 THEN '… ' ELSE '' END)
+                     || regexp_replace(substring(text, start0 + 1, 220), '^\s+|\s+$', '', 'g')
+                     || (CASE WHEN least(len, start0 + 220) < len THEN ' …' ELSE '' END)
+                END AS snippet
+            FROM w
         """,
         "d1_dedup_exact_text": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "d2_token_jaccard_pairs": f"""
@@ -860,6 +883,63 @@ def oracle_sql() -> dict[str, str]:
         "p2_dense_ids": """
             SELECT row_number() OVER (ORDER BY url) - 1 AS id, url
             FROM (SELECT DISTINCT c_name AS url FROM customer)
+        """,
+        "sim1_cosine_topk": """
+            WITH pairs AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT query_id, neighbor_id, c,
+                       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS knn_rank
+                FROM pairs
+            )
+            SELECT query_id, neighbor_id, CAST(round(c, 4) AS DOUBLE) AS cosine, knn_rank
+            FROM r WHERE knn_rank <= 3
+        """,
+        "q1_combined_search": f"""
+            WITH tf AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), tfc AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS n FROM tfc
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tfc GROUP BY term
+            ), idf AS (
+                SELECT term, ln((1 + n.n) / (1 + dfreq.df)) + 1.0 AS idf FROM dfreq, n
+            ), w AS (
+                SELECT tfc.doc_id, tfc.term, tfc.tf * idf.idf AS w
+                FROM tfc JOIN idf ON tfc.term = idf.term
+            ), norms AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+            ), q AS (
+                SELECT t.term, 1.0 * idf.idf AS qw FROM (VALUES ('spark'), ('join'), ('table')) t(term)
+                JOIN idf ON t.term = idf.term
+            ), qn AS (
+                SELECT sqrt(sum(qw * qw)) AS qnorm FROM q
+            ), dots AS (
+                SELECT w.doc_id, sum(q.qw * w.w) AS dot FROM w JOIN q ON w.term = q.term GROUP BY w.doc_id
+            ), hits AS (
+                -- the reference's over-fetch: 3*k TF-IDF candidates before re-rank
+                SELECT d.doc_id, d.dot / (qn.qnorm * norms.nrm) AS tfidf_score
+                FROM dots d, qn JOIN norms ON d.doc_id = norms.doc_id
+                ORDER BY tfidf_score DESC, d.doc_id ASC LIMIT 30
+            ), pr AS (
+                SELECT doc_id, len({_TOK})::DOUBLE AS score FROM documents
+            ), mm AS (
+                SELECT min(score) AS mn,
+                       CASE WHEN max(score) > min(score) THEN max(score) - min(score) ELSE 1.0 END AS span
+                FROM pr
+            ), prn AS (
+                SELECT pr.doc_id, (pr.score - mm.mn) / mm.span AS pagerank_norm FROM pr, mm
+            )
+            SELECT h.doc_id,
+                   CAST(round(h.tfidf_score, 6) AS DOUBLE) AS tfidf_score,
+                   CAST(round(COALESCE(p.pagerank_norm, 0.0), 6) AS DOUBLE) AS pagerank_norm,
+                   CAST(round(0.8 * h.tfidf_score + 0.2 * COALESCE(p.pagerank_norm, 0.0), 6) AS DOUBLE) AS combined_score
+            FROM hits h LEFT JOIN prn p ON h.doc_id = p.doc_id
+            ORDER BY combined_score DESC, h.doc_id ASC LIMIT 10
         """,
         "g4_triangles_per_vertex": f"""
             WITH und AS (

@@ -86,10 +86,16 @@ def connected_components(
     round_metrics: list[dict] = []
     e = None
     man = None
+    m_raw = None
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
+        # input-identity guard (mirrors pagerank/labelprop's n check): the
+        # manifest records the raw input edge count; resuming against a
+        # checkpoint written for a different edge set is refused instead of
+        # silently returning the previous graph's components.
+        m_raw = edges.count()
         man = load_manifest(checkpoint_dir) if resume else None
-        if man and man.get("kernel") == "cc":
+        if man and man.get("kernel") == "cc" and man.get("input_edges") == m_raw:
             start_round = man["completed_iter"] + 1
             round_metrics = man.get("iterations", [])
             e = (
@@ -136,7 +142,12 @@ def connected_components(
                     e,
                     checkpoint_dir,
                     rnd,
-                    {"kernel": "cc", "converged": stable, "iterations": round_metrics},
+                    {
+                        "kernel": "cc",
+                        "input_edges": m_raw,
+                        "converged": stable,
+                        "iterations": round_metrics,
+                    },
                 )
             if stable:
                 break

@@ -78,26 +78,59 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
 
 # ---------------------------------------------------------------- token jaccard
 
+MAX_SHINGLE_DF = 10_000  # a shingle shared by k docs contributes k² candidates
+
+
 def token_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_n: int = 1,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact n-gram-set Jaccard over all pairs sharing ≥1 shingle.
+    """Exact n-gram-set Jaccard over pairs sharing ≥1 non-frequent shingle.
 
-    Blocking on shared shingles means disjoint pairs are never materialized;
-    at scale add a df-based frequent-shingle cutoff. Returns
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    Blocking on shared shingles means disjoint pairs are never materialized.
+    Candidate generation drops shingles with document frequency >
+    `max_shingle_df` (a stop-shingle shared by 10⁶ docs would otherwise emit
+    10¹² candidate rows — the standard published-dedup-pipeline cutoff); the
+    Jaccard itself is then verified EXACTLY over the full (uncut) shingle
+    sets, so reported values are never approximated. The only approximation
+    is recall: a pair whose overlap is exclusively frequent shingles is
+    missed — by construction such pairs are dominated by boilerplate.
+    `max_shingle_df=None` disables the cutoff (exact blocking).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     sh = _doc_shingles(docs, id_col, text_col, shingle_n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        blockable = sh.join(hot, "shingle", "left_anti")
+    else:
+        blockable = sh
+    cand = (
+        blockable.select(F.col("doc").alias("id_a"), "shingle")
+        .join(blockable.select(F.col("doc").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs, from the full shingle sets."""
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("id_a"), "shingle")
     b = sh.select(F.col("doc").alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -187,27 +220,7 @@ def minhash_lsh_dedupe_pairs(
     sh = _doc_shingles(docs, id_col, text_col, shingle_n)
     sigs = _signatures_from_shingles(sh, num_hashes)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc").alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("szb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(cand, sh, threshold)
 
 
 def drop_near_duplicates(

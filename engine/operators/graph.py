@@ -9,7 +9,6 @@ extraction UDF, explode, normalize, filters, joins — that Catalyst plans.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from engine.functions.udfs import (
     base_domain_udf,
@@ -67,25 +66,49 @@ def build_edges_url(
     return e
 
 
-def dense_node_ids(urls: DataFrame) -> DataFrame:
+def dense_node_ids(urls: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Deterministic dense ids 0..n-1 over distinct URLs, sorted-URL order.
 
     The reference assigns first-seen crawl-order ids (crawler/core.py:285-289)
     which is nondeterministic under threading; scores are id-permutation
     invariant and all cross-checks key on url, so we use the deterministic
-    distributed equivalent: range-partition + sort + zipWithIndex (per-partition
-    offsets computed from partition sizes — no global bottleneck; SURVEY §4.2).
+    distributed equivalent, as a pure-JVM two-phase assigner (SURVEY §4.2):
+
+      1. range-partition the distinct urls on url (ascending key ranges map
+         to ascending partition ids by RangePartitioner's contract) and
+         row_number within each partition;
+      2. per-partition counts -> prefix-sum offsets (≤P tiny rows, broadcast
+         back); global id = offset(partition) + local row_number.
+
+    No RDD/Python boundary anywhere: at web scale (10⁹ urls) every row stays
+    in Tungsten format; the only driver-sized object is the P-row offset
+    table. Both branches hang off the SAME range exchange (ReusedExchange),
+    and RangePartitioner's boundary sampling is deterministically seeded per
+    partition, so re-evaluations agree.
     Input: single STRING column 'url'. Output: (id BIGINT, url STRING).
     """
+    from pyspark.sql.window import Window
+
     spark = urls.sparkSession
-    distinct = urls.select("url").distinct()
-    parts = max(distinct.rdd.getNumPartitions(), 1)
-    s = distinct.repartitionByRange(parts, "url").sortWithinPartitions("url")
-    rdd = s.rdd.map(lambda r: r[0]).zipWithIndex().map(lambda t: (t[1], t[0]))
-    schema = StructType(
-        [StructField("id", LongType(), False), StructField("url", StringType(), False)]
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        urls.select("url")
+        .distinct()
+        .repartitionByRange(P, "url")
+        .select("url", F.spark_partition_id().alias("_p"))
     )
-    return spark.createDataFrame(rdd, schema)
+    w_local = Window.partitionBy("_p").orderBy("url")
+    local = ranged.withColumn("_rn", F.row_number().over(w_local).cast("long") - 1)
+    counts = ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("_c"))
+    # running-sum offsets over ≤P rows: the single-partition window is fine
+    # at this cardinality (one row per partition, not per url)
+    w_off = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_p", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).cast("long").alias("_off")
+    )
+    return local.join(F.broadcast(offsets), "_p").select(
+        (F.col("_off") + F.col("_rn")).alias("id"), "url"
+    )
 
 
 def build_nodes(page_urls: DataFrame, edges_url: DataFrame) -> DataFrame:

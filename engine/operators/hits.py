@@ -7,9 +7,11 @@ impl; standard published recurrence over the simple directed graph):
     h = L2-normalize(A a)    (hub: sum of out-neighbor authority scores)
 
 until Σ|Δh| + Σ|Δa| < tol. Deterministic init h = 1/√n. Physical layout
-mirrors the PageRank broadcast gather: the edge set is deduped, cached, and
-the (small) score vector is broadcast into each half-step's join; lineage is
-truncated every iteration.
+mirrors the PageRank gather: the edge set is deduped, cached, and the score
+vector is either broadcast into each half-step's join (n small) or shuffle-
+gathered with optional salt-split skew handling (n > BROADCAST_NODE_LIMIT)
+— the same auto strategy as pagerank.py; lineage is truncated every
+iteration.
 """
 
 from __future__ import annotations
@@ -33,13 +35,26 @@ def hits(
     max_iter: int = 50,
     tol: float = 1e-8,
     num_partitions: int | None = None,
+    broadcast_scores: bool | None = None,
+    salt_buckets: int | None = None,
 ) -> HitsResult:
     """Returns (id, hub DOUBLE, authority DOUBLE) over src ∪ dst.
 
     Duplicate edges are collapsed (HITS is defined on the simple graph);
     self-loops participate as in the adjacency-matrix formulation.
+
+    broadcast_scores: gather strategy, mirroring pagerank's auto switch.
+    True → the per-node score vector is broadcast into each half-step join
+    (exchange-light, valid while n is broadcastable). False → shuffle
+    gather, the path for n too big to broadcast; with salt_buckets=S the
+    aggregation is an explicit two-stage skew split on (key_out, salt).
+    None (default) → auto: broadcast iff n ≤ pagerank.BROADCAST_NODE_LIMIT.
+    Both strategies compute the identical recurrence (float sum order may
+    differ at the last ulp).
     """
     import time
+
+    from engine.operators.pagerank import BROADCAST_NODE_LIMIT
 
     spark = edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -55,6 +70,8 @@ def hits(
         .persist()
     )
     n = nodes.count()
+    if broadcast_scores is None:
+        broadcast_scores = n <= BROADCAST_NODE_LIMIT
 
     h = nodes.select("id", (F.lit(1.0) / F.lit(float(n)) ** 0.5).alias("s")).localCheckpoint(
         eager=True
@@ -64,13 +81,26 @@ def hits(
     def _half_step(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
         """gather Σ vec over edges grouped by key_out, L2-normalized over the
         node universe (absent nodes contribute 0)."""
-        raw = (
-            e.join(
-                F.broadcast(vec.select(F.col("id").alias(key_in), "s")), key_in
+        scores_in = vec.select(F.col("id").alias(key_in), "s")
+        if broadcast_scores:
+            raw = (
+                e.join(F.broadcast(scores_in), key_in)
+                .groupBy(key_out)
+                .agg(F.sum("s").alias("raw"))
             )
-            .groupBy(key_out)
-            .agg(F.sum("s").alias("raw"))
-        )
+        elif salt_buckets and salt_buckets > 1:
+            partial = (
+                e.join(scores_in, key_in)
+                .groupBy(key_out, F.pmod(F.hash(key_in), F.lit(salt_buckets)).alias("_salt"))
+                .agg(F.sum("s").alias("psum"))
+            )
+            raw = partial.groupBy(key_out).agg(F.sum("psum").alias("raw"))
+        else:
+            raw = (
+                e.join(scores_in, key_in)
+                .groupBy(key_out)
+                .agg(F.sum("s").alias("raw"))
+            )
         out = nodes.join(raw.withColumnRenamed(key_out, "id"), "id", "left").select(
             "id", F.coalesce("raw", F.lit(0.0)).alias("raw")
         )

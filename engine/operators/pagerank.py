@@ -74,6 +74,25 @@ from engine.operators._checkpoint import snapshot_state as _snapshot_state
 BROADCAST_NODE_LIMIT = 4_000_000  # ranks table ≈ 16 B/row → ≤ ~64 MB broadcast
 
 
+def _estimate_rows(df: DataFrame, bytes_per_row: int = 16) -> int:
+    """Row-count estimate from Catalyst's optimized-plan statistics (derived
+    from input file sizes / injected stats) — runs NO job. Returns the
+    explicit rowCount when the plan carries one; otherwise sizeInBytes /
+    bytes_per_row. Falls back to 0 (→ caller's minimum) when statistics are
+    the unknown-size sentinel (defaultSizeInBytes ~ 8 EB)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        if 0 < size < (1 << 50):
+            return size // bytes_per_row
+    except Exception:
+        pass
+    return 0
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -133,9 +152,10 @@ def pagerank(
         # partition, clamped to the session default. Tiny graphs then run a
         # handful of tasks per stage instead of paying conf_p scheduling
         # overhead x iterations; at cluster scale callers pass num_partitions
-        # (or the session default, ~2-3x total cores, wins).
-        est_edges = edges.count()
-        P = max(2, min(conf_p, (est_edges // 250_000) + 1))
+        # (or the session default, ~2-3x total cores, wins). The estimate
+        # comes from Catalyst's optimizer statistics (file sizes for scans —
+        # NO job, no extra full pass over a 100 TB table), not a count().
+        P = max(2, min(conf_p, (_estimate_rows(edges, bytes_per_row=16) // 250_000) + 1))
 
     if nodes is None:
         mx = edges.agg(
@@ -175,6 +195,14 @@ def pagerank(
             F.col(personalization.columns[0]).alias("id"),
             (F.col(personalization.columns[1]) / F.lit(float(ptotal))).alias("pw"),
         )
+        # ids absent from the node universe would silently shrink the
+        # effective teleport vector below 1 (masked only by the final
+        # renormalization) — surface the typo instead
+        missing = pw.join(nodes.select("id"), "id", "left_anti").count()
+        if missing:
+            raise ValueError(
+                f"{missing} personalization id(s) are not in the node universe"
+            )
         node_info = node_info.join(pw, "id", "left").select(
             "id", "is_dangling", F.coalesce("pw", F.lit(0.0)).alias("pw")
         )

@@ -1,19 +1,31 @@
 """Similarity search over embedding columns (array<float>).
 
-Training-data-pipeline extension (no reference impl). Two paths:
+Training-data-pipeline extension (no reference impl). Three paths:
 
-- `cosine_topk`: exact brute-force k-NN — all-pairs cosine via higher-order
-  array functions (zip_with dot product, aggregate norms), top-k per query
-  with a window. Correct baseline; O(n²) pairs — at 100 TB this is the
-  per-block kernel of a block-matrix sweep, not a global strategy.
+- Exact pairwise (`cosine_pairs`, `cosine_topk`): O(n²) compute, but
+  distributed as a *block-grid sweep* (Okcan & Riedewald's 1-Bucket-Theta
+  pattern): vectors get a deterministic block id, the tiny B×B block-pair
+  grid is broadcast into both sides, and the two replicated streams
+  equi-join on (block_a, block_b). Every task compares one bounded
+  block×block tile — no crossJoin / BroadcastNestedLoopJoin, no skew, and
+  memory per task is capped by `rows_per_block` regardless of n.
 - `lsh_ann_topk`: random-hyperplane LSH — deterministic pseudo-random planes
   derived from xxhash64(seed, plane, dim) so results are reproducible without
   any RNG state; candidates share a bucket (multi-probe over `tables`
   independent banded sign-prefixes), exact cosine re-rank inside buckets.
-  This is the scale path: shuffle keys are (table, bucket), hubs don't exist.
+  This is the 100 TB top-k path: shuffle keys are (table, bucket), hubs
+  don't exist; recall < 1 by construction (documented, tested).
+- `embedding_near_duplicates`: exact block-grid sweep below `exact_limit`
+  vectors, LSH-candidates + exact-cosine verify above it. The LSH route is
+  only sound for genuine near-dup thresholds (cosine ≳ 0.9, where bucket
+  collision probability is high); at loose thresholds recall drops and the
+  exact sweep is the correct (and unavoidable — the qualifying pairs sit at
+  the decision boundary) strategy.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -33,22 +45,83 @@ def with_norm(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "emb
     )
 
 
-def cosine_pairs(
-    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+# ------------------------------------------------------------- block grid
+
+def _num_blocks(embeddings: DataFrame, num_blocks: int | None, rows_per_block: int) -> int:
+    if num_blocks is not None:
+        return max(1, num_blocks)
+    n = embeddings.count()  # one cheap scan; at scale pass num_blocks explicitly
+    return max(1, math.ceil(n / rows_per_block))
+
+
+def _grid(spark, num_blocks: int, ordered: bool) -> DataFrame:
+    """B×B block-pair grid (tiny driver-side table, broadcast). ordered=True
+    keeps all B² cells (every ordered pair appears once); ordered=False keeps
+    the upper triangle incl. diagonal (every unordered pair appears once)."""
+    cells = [
+        (i, j)
+        for i in range(num_blocks)
+        for j in range(num_blocks)
+        if ordered or i <= j
+    ]
+    return spark.createDataFrame(cells, "_ba int, _bb int")
+
+
+def _block_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    ordered: bool,
+    num_blocks: int | None,
+    rows_per_block: int,
 ) -> DataFrame:
-    """All ordered pairs (id_a < id_b, cosine). Exact, O(n²)."""
+    """All vector pairs with cosine, via the block-grid sweep.
+
+    ordered=True  -> every (query_id, neighbor_id), query_id != neighbor_id.
+    ordered=False -> every (id_a < id_b) unordered pair, canonical order.
+    Shuffle volume is n·B rows per side (replication = grid cells touching a
+    block); compute per task is one (n/B)² tile.
+    """
     e = with_norm(embeddings, id_col, vec_col)
-    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    B = _num_blocks(e, num_blocks, rows_per_block)
+    grid = _grid(e.sparkSession, B, ordered)
+    blk = F.pmod(F.xxhash64("id"), F.lit(B)).cast("int")
+    a = e.select(
+        F.col("id").alias("_ia"), F.col("vec").alias("_va"), F.col("norm").alias("_na"),
+        blk.alias("_ba"),
+    ).join(F.broadcast(grid), "_ba")
+    b = e.select(
+        F.col("id").alias("_ib"), F.col("vec").alias("_vb"), F.col("norm").alias("_nb"),
+        blk.alias("_bb"),
+    ).join(F.broadcast(grid), "_bb")
+    joined = a.join(b, ["_ba", "_bb"])
+    cos = (_dot_col(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("cosine")
+    if ordered:
+        return joined.filter(F.col("_ia") != F.col("_ib")).select(
+            F.col("_ia").alias("query_id"), F.col("_ib").alias("neighbor_id"), cos
+        )
+    # unordered: diagonal tiles keep _ia < _ib; off-diagonal tiles hold each
+    # unordered pair exactly once — canonicalize endpoint order
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined.filter((F.col("_ba") != F.col("_bb")) | (F.col("_ia") < F.col("_ib")))
         .select(
-            "id_a",
-            "id_b",
-            (_dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            cos,
         )
     )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+    rows_per_block: int = 1024,
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b, cosine). Exact; O(n²) compute spread
+    over the block grid — no crossJoin."""
+    return _block_pairs(embeddings, id_col, vec_col, False, num_blocks, rows_per_block)
 
 
 def cosine_topk(
@@ -56,24 +129,18 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int | None = None,
+    rows_per_block: int = 1024,
 ) -> DataFrame:
     """Exact k nearest neighbors per vector: (query_id, neighbor_id, cosine,
-    knn_rank). Window partitioned per query — parallel across queries."""
-    e = with_norm(embeddings, id_col, vec_col)
-    q = e.select(F.col("id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn"))
-    d = e.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("dv"), F.col("norm").alias("dn"))
-    scored = (
-        q.crossJoin(d)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot_col(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn"))).alias("cosine"),
-        )
-    )
+    knn_rank). Block-grid sweep for the pair generation; the final top-k
+    window is partitioned per query — parallel across queries."""
+    scored = _block_pairs(embeddings, id_col, vec_col, True, num_blocks, rows_per_block)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
 
+
+# ------------------------------------------------------------- hyperplane LSH
 
 def _plane_weight(plane, dim, seed: int):
     """Deterministic pseudo-random hyperplane weight in [-1, 1)."""
@@ -113,6 +180,25 @@ def hyperplane_buckets(
     return out
 
 
+def _lsh_candidates(
+    embeddings: DataFrame,
+    planes_per_table: int,
+    tables: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Distinct (query_id, neighbor_id) sharing any LSH bucket."""
+    buckets = hyperplane_buckets(embeddings, planes_per_table, tables, seed, id_col, vec_col)
+    return (
+        buckets.select("table", "bucket", F.col("id").alias("query_id"))
+        .join(buckets.select("table", "bucket", F.col("id").alias("neighbor_id")), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -124,14 +210,7 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate k-NN: candidates from shared LSH buckets (any table),
     exact cosine re-rank. Same output shape as cosine_topk."""
-    buckets = hyperplane_buckets(embeddings, planes_per_table, tables, seed, id_col, vec_col)
-    cand = (
-        buckets.select("table", "bucket", F.col("id").alias("query_id"))
-        .join(buckets.select("table", "bucket", F.col("id").alias("neighbor_id")), ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    cand = _lsh_candidates(embeddings, planes_per_table, tables, seed, id_col, vec_col)
     e = with_norm(embeddings, id_col, vec_col)
     q = e.select(F.col("id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn"))
     d = e.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("dv"), F.col("norm").alias("dn"))
@@ -148,11 +227,52 @@ def lsh_ann_topk(
     return scored.withColumn("knn_rank", F.row_number().over(w)).filter(F.col("knn_rank") <= k)
 
 
+EXACT_SWEEP_LIMIT = 2_000_000  # ≤ ~4·10¹² pair-compute: the exact O(n²) ceiling
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    num_blocks: int | None = None,
+    rows_per_block: int = 1024,
+    planes_per_table: int = 8,
+    tables: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a, id_b, cosine ≥ threshold)."""
-    return cosine_pairs(embeddings, id_col, vec_col).filter(F.col("cosine") >= threshold)
+    """Embedding-cosine near-dup pairs (id_a, id_b, cosine ≥ threshold).
+
+    method:
+      'exact' — block-grid sweep (cosine_pairs): exact recall, O(n²) compute
+                evenly distributed, no crossJoin.
+      'lsh'   — hyperplane-bucket candidates + exact cosine verify: the
+                10⁸-vector path. Recall < 1: a true pair is found iff it
+                collides in some table, p ≈ 1-(1-(1-θ/π)^b)^T — choose
+                b/tables for the target threshold (defaults suit ≥0.9).
+      'auto'  — exact below EXACT_SWEEP_LIMIT vectors, lsh above.
+    """
+    if method == "auto":
+        method = "exact" if embeddings.count() <= EXACT_SWEEP_LIMIT else "lsh"
+    if method == "exact":
+        pairs = cosine_pairs(embeddings, id_col, vec_col, num_blocks, rows_per_block)
+        return pairs.filter(F.col("cosine") >= threshold)
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+    cand = _lsh_candidates(embeddings, planes_per_table, tables, seed, id_col, vec_col)
+    e = with_norm(embeddings, id_col, vec_col)
+    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))
+    return (
+        cand.filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b"))
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

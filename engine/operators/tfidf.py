@@ -155,13 +155,44 @@ def combined_search(
     return out.orderBy(F.desc("combined_score"), F.asc("url")).limit(top_k)
 
 
-def snippet_col(text_col, term: str, window: int = 80):
-    """Snippet around the first case-insensitive hit of `term`
-    (api/main.py:332-362 shape): substring window with ellipses."""
-    pos = F.locate(term.lower(), F.lower(text_col))
-    start = F.greatest(pos - F.lit(window // 2), F.lit(1))
-    return F.when(pos > 0, F.concat(F.lit("…"), F.substring(text_col, start.cast("int"), window), F.lit("…"))).otherwise(
-        F.substring(text_col, 1, window)
+def snippet_col(text_col, query: str, max_len: int = 220):
+    """Snippet around the FIRST case-insensitive hit of ANY query term —
+    exact reference semantics (api/main.py:332-362 `_make_snippet`):
+
+      terms   = query.lower().split()           (whitespace split)
+      pos     = min over found first-hit positions
+      no hit  -> text[:max_len] + '…' if longer, else text unchanged
+      hit     -> window text[start:start+max_len], start = max(0, pos -
+                 max_len//3), stripped, '… ' prefix iff start>0 and ' …'
+                 suffix iff the window ends before the text does
+      empty/null text -> ''
+
+    Pure Catalyst (locate/substring/regexp) — no UDF."""
+    terms = [t for t in str(query).lower().split() if t]
+    lowered = F.lower(text_col)
+    length = F.coalesce(F.length(text_col), F.lit(0))
+    if terms:
+        # 1-based locate, 0 = miss; array_min skips nulls → min found position
+        pos = F.array_min(
+            F.array(*[F.when(F.locate(t, lowered) > 0, F.locate(t, lowered)) for t in terms])
+        )
+    else:
+        pos = F.lit(None).cast("int")
+    start0 = F.greatest(pos - 1 - F.lit(max_len // 3), F.lit(0))  # 0-based
+    end = F.least(length, start0 + F.lit(max_len))
+    core = F.regexp_replace(
+        F.substring(text_col, (start0 + 1).cast("int"), max_len), r"(?U)^\s+|\s+$", ""
+    )
+    hit = F.concat(
+        F.when(start0 > 0, F.lit("… ")).otherwise(F.lit("")),
+        core,
+        F.when(end < length, F.lit(" …")).otherwise(F.lit("")),
+    )
+    nohit = F.when(
+        length > max_len, F.concat(F.substring(text_col, 1, max_len), F.lit("…"))
+    ).otherwise(text_col)
+    return F.when(text_col.isNull() | (length == 0), F.lit("")).otherwise(
+        F.when(pos.isNotNull(), hit).otherwise(nohit)
     )
 
 

@@ -4,8 +4,10 @@ Streaming analog of the reference's crawl loop (crawler/core.py:239-318):
 instead of a BFS frontier fetching pages, new page files land in the input
 directory (Common-Crawl-style dumps arrive in chunks) and each micro-batch
 runs the SAME extraction DAG as the batch pipeline — Arrow-UDF parse,
-explode, normalize, filters — appending URL-level edges to a Parquet sink.
-Exactly-once per input file via the stream checkpoint. Dense-ID encoding
+explode, normalize, filters — writing URL-level edges through the streaming
+parquet file sink. Exactly-once per input file: the source checkpoint dedups
+input files AND the sink's _spark_metadata commit log makes each batch's
+write atomic (a retried batch never double-appends). Dense-ID encoding
 stays a batch step (it needs the global URL dictionary) — run
 graph.build_nodes/encode_edges over the accumulated edge table.
 """
@@ -44,14 +46,19 @@ def stream_extract_edges(
     build_edges_url), so streamed output == batch output over the same files.
     """
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        pages = graph.filter_lang(batch_df, target_lang)
-        ex = graph.extract_pages(pages)
-        eu = graph.build_edges_url(ex, base_domain=base_domain)
-        eu.write.mode("append").parquet(out_path)
+    pages = graph.filter_lang(pages_stream, target_lang)
+    ex = graph.extract_pages(pages)
+    eu = graph.build_edges_url(ex, base_domain=base_domain)
 
+    # Streaming parquet FILE SINK, not foreachBatch+append: the sink's
+    # _spark_metadata commit log makes the write transactional per batch —
+    # a micro-batch retried after a partial/unacknowledged write replaces its
+    # uncommitted files instead of appending duplicates (true exactly-once;
+    # a plain append in foreachBatch is only at-least-once). Batch readers of
+    # out_path go through the same log and see only committed files.
     writer = (
-        pages_stream.writeStream.foreachBatch(process)
+        eu.writeStream.format("parquet")
+        .option("path", out_path)
         .option("checkpointLocation", checkpoint_path)
     )
     if available_now:

@@ -59,6 +59,45 @@ def test_token_jaccard_pairs(spark):
     assert pairs[(1, 2)] == pytest.approx(_jaccard_tokens(rows[0][1], rows[1][1]))
 
 
+def test_token_jaccard_frequent_shingle_cutoff(spark):
+    """Cutoff drops hot shingles from CANDIDATE GENERATION only: pairs found
+    via surviving shingles keep their exact (full-set) Jaccard; pairs whose
+    entire overlap is hot shingles are skipped."""
+    rows = [
+        (1, "common common alpha beta gamma"),
+        (2, "common common alpha beta delta"),
+        (3, "common common zeta eta theta"),
+        (4, "common common zeta eta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # unigram shingles; 'common' has df=4, everything else ≤ 2
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedupe.token_jaccard_pairs(df, threshold=0.4, max_shingle_df=None).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedupe.token_jaccard_pairs(df, threshold=0.4, max_shingle_df=3).collect()
+    }
+    # hot shingle 'common' no longer blocks, but (1,2)/(3,4) still share
+    # non-hot shingles — and their Jaccard values are the exact full-set ones
+    assert set(cut) == set(full) == {(1, 2), (3, 4)}
+    for k in cut:
+        assert cut[k] == pytest.approx(full[k], abs=1e-12)
+    # pairs overlapping ONLY via the hot shingle (e.g. 1-3) are absent from
+    # candidates even at threshold 0 when the cutoff is active
+    lo = {
+        (r.id_a, r.id_b)
+        for r in dedupe.token_jaccard_pairs(df, threshold=0.0, max_shingle_df=3).collect()
+    }
+    assert (1, 3) not in lo
+    lo_full = {
+        (r.id_a, r.id_b)
+        for r in dedupe.token_jaccard_pairs(df, threshold=0.0, max_shingle_df=None).collect()
+    }
+    assert (1, 3) in lo_full
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     base = "pagerank computes stationary distribution of the random surfer on the web graph "
     rows = [
@@ -153,3 +192,58 @@ def test_embedding_near_duplicates(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = {(r.id_a, r.id_b) for r in similarity.embedding_near_duplicates(df, 0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_block_grid_sweep_no_cross_join(spark):
+    """The exact pairwise sweep must distribute as block-grid equi-joins —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    from engine.plans import inspect as pi
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for df in (
+        similarity.cosine_pairs(emb, num_blocks=4),
+        similarity.cosine_topk(emb, k=3, num_blocks=4),
+        similarity.embedding_near_duplicates(emb, 0.35, num_blocks=4),
+    ):
+        plan = pi.physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_block_grid_partition_invariant(spark):
+    """Block count is a physical knob: 1 block vs 5 blocks must yield the
+    identical pair set (every unordered/ordered pair appears exactly once)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p1 = {(r.id_a, r.id_b): r.cosine for r in similarity.cosine_pairs(emb, num_blocks=1).collect()}
+    p5 = {(r.id_a, r.id_b): r.cosine for r in similarity.cosine_pairs(emb, num_blocks=5).collect()}
+    assert set(p1) == set(p5)
+    for k in p1:
+        assert p1[k] == pytest.approx(p5[k], abs=1e-12)
+    t1 = {(r.query_id, r.knn_rank): r.neighbor_id for r in similarity.cosine_topk(emb, k=2, num_blocks=1).collect()}
+    t4 = {(r.query_id, r.knn_rank): r.neighbor_id for r in similarity.cosine_topk(emb, k=2, num_blocks=4).collect()}
+    assert t1 == t4
+
+
+def test_near_dup_lsh_route_high_threshold(spark):
+    """The LSH near-dup route (the 10⁸-vector path) finds high-cosine pairs:
+    at genuine near-dup thresholds bucket collision probability is high, and
+    the exact-cosine verify makes precision 1.0 by construction."""
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.02]),
+        (2, [0.999, 0.012, 0.001, 0.021]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.02, 0.0]),
+        (4, [0.01, 0.998, 0.019, 0.002]),  # near-dup of 3
+        (5, [0.3, 0.3, 0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(df, 0.99, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_duplicates(df, 0.99, method="lsh", tables=16).collect()
+    }
+    assert lsh == exact == {(1, 2), (3, 4)}
+    # precision: every LSH pair is exact-verified, so lsh ⊆ exact always
+    assert lsh <= exact

@@ -197,3 +197,41 @@ def test_hits_vs_numpy_oracle(spark):
     # L2 norms are 1
     assert abs(sum(v[0] ** 2 for v in got.values()) - 1.0) < 1e-9
     assert abs(sum(v[1] ** 2 for v in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_broadcast_and_shuffle_gather_agree(spark):
+    """The broadcast gather and the shuffle (+salted) gather are two physical
+    strategies for the same half-step recurrence — scores must agree to
+    float-sum-reorder tolerance (mirrors pagerank's strategy-equivalence)."""
+    from engine.operators.hits import hits
+
+    edges = _load_edges(REF_1K, limit=2000)
+    df = _edges_df(spark, edges)
+    bc = hits(df, tol=1e-12, max_iter=25, broadcast_scores=True)
+    sh = hits(df, tol=1e-12, max_iter=25, broadcast_scores=False)
+    salted = hits(df, tol=1e-12, max_iter=25, broadcast_scores=False, salt_buckets=8)
+    assert bc.iterations == sh.iterations == salted.iterations
+    b = {r.id: (r.hub, r.authority) for r in bc.scores.collect()}
+    s = {r.id: (r.hub, r.authority) for r in sh.scores.collect()}
+    sl = {r.id: (r.hub, r.authority) for r in salted.scores.collect()}
+    assert set(b) == set(s) == set(sl)
+    for i in b:
+        assert abs(b[i][0] - s[i][0]) < 1e-12 and abs(b[i][1] - s[i][1]) < 1e-12
+        assert abs(b[i][0] - sl[i][0]) < 1e-12 and abs(b[i][1] - sl[i][1]) < 1e-12
+
+
+def test_cc_resume_refuses_different_edge_set(spark, tmp_path):
+    """The manifest's input-identity guard: a checkpoint written for one edge
+    set must not be resumed for another — the second run restarts fresh and
+    returns the SECOND graph's components."""
+    g1 = _sparse_graph(n=120, m=150, seed=5)
+    g2 = _sparse_graph(n=150, m=260, seed=6)
+    ck = str(tmp_path / "cc_guard_ck")
+    connected_components(_edges_df(spark, g1), checkpoint_dir=ck, checkpoint_every=1).count()
+    got = {
+        r.id: r.label
+        for r in connected_components(
+            _edges_df(spark, g2), checkpoint_dir=ck, checkpoint_every=1
+        ).collect()
+    }
+    assert got == connected_components_py(g2)

@@ -179,3 +179,44 @@ def test_uniform_personalization_equals_default(spark):
     assert np.allclose(
         _ranks_array(plain, 4), _ranks_array(pers, 4), atol=1e-12
     )
+
+
+def test_personalization_unknown_id_raises(spark):
+    edges = [(0, 1), (1, 2), (2, 0)]
+    df = _edges_df(spark, edges)
+    bad = spark.createDataFrame([(0, 1.0), (9999, 2.0)], "id long, weight double")
+    with pytest.raises(ValueError, match="not in the node universe"):
+        pagerank(df, max_iter=5, personalization=bad)
+
+
+REF_5K_IN = "/root/reference/backend/jobs/input.txt"
+GOLDEN_5K = "/root/reference/backend/jobs/output.txt"
+
+
+def test_golden_5k_parity(spark):
+    """Engine reproduces the reference's largest committed workload
+    (backend/jobs: N=5000, M=50000) — the graph summary block AND the top-10
+    PageRank scores of output.txt (params = pagerank_gpu defaults)."""
+    edges_df = read_edge_text(spark, REF_5K_IN)
+    n = num_nodes_from_edges(edges_df)
+    golden_text = open(GOLDEN_5K).read()
+    gn = int(re.search(r"N \(nodes\)\s*:\s*(\d+)", golden_text).group(1))
+    gm = int(re.search(r"M \(edges\)\s*:\s*(\d+)", golden_text).group(1))
+    gd = int(re.search(r"Dangling nodes:\s*(\d+)", golden_text).group(1))
+    assert (n, edges_df.count()) == (gn, gm) == (5000, 50000)
+
+    res = pagerank(edges_df, alpha=0.85, tol=1e-8, max_iter=100)
+    from engine.operators.graph import dangling, out_degrees
+
+    nodes = spark.range(n).selectExpr("id")
+    assert dangling(nodes, out_degrees(edges_df)).count() == gd
+
+    got = {row.id: row.rank for row in top_k(res.ranks, 10).collect()}
+    golden = [
+        (int(m.group(1)), float(m.group(2)))
+        for m in re.finditer(r"node\s+(\d+)\s*:\s*([0-9.eE+-]+)", golden_text)
+    ]
+    assert len(golden) == 10
+    assert [gid for gid, _ in golden] == sorted(got, key=lambda i: (-got[i], i))
+    for gid, gscore in golden:
+        assert abs(got[gid] - gscore) < 5e-10

@@ -79,6 +79,22 @@ def test_text_paths_are_pure_catalyst(spark):
     assert pi.codegen_stage_count(postings) >= 1
 
 
+def test_dense_ids_pure_jvm(spark):
+    """dense_node_ids must never cross into Python or materialize an RDD —
+    at web scale (10⁹ urls) a per-row Python boundary is the exact
+    anti-pattern the input contract bans."""
+    from engine.operators import graph
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    out = graph.dense_node_ids(c.select(F.col("c_name").alias("url")))
+    assert not pi.has_python_eval(out)
+    assert "ExistingRDD" not in pi.physical_plan(out)
+    rows = out.orderBy("id").collect()
+    urls = [r.url for r in rows]
+    assert [r.id for r in rows] == list(range(len(rows)))
+    assert urls == sorted(urls)
+
+
 def test_extraction_is_arrow_batched(spark):
     """The one place Python IS allowed: the html extraction UDF — and it must
     be the Arrow-batched eval, not row-at-a-time BatchEvalPython."""

@@ -89,3 +89,54 @@ def test_rank_index(spark):
     )
     got = {r.url: r.rank for r in tfidf.rank_index(df).collect()}
     assert got == {"a": 1, "c": 2, "b": 3}
+
+
+def _make_snippet_ref(text: str, query: str, max_len: int = 220) -> str:
+    """Literal port of reference api/main.py:332-362 _make_snippet — the
+    byte-parity oracle for snippet_col."""
+    if not text:
+        return ""
+    lowered = text.lower()
+    terms = [t for t in query.lower().split() if t]
+    pos = None
+    for term in terms:
+        idx = lowered.find(term)
+        if idx != -1:
+            pos = idx if pos is None else min(pos, idx)
+    if pos is None:
+        return (text[:max_len] + "…") if len(text) > max_len else text
+    start = max(0, pos - max_len // 3)
+    end = min(len(text), start + max_len)
+    snippet = text[start:end].strip()
+    if start > 0:
+        snippet = "… " + snippet
+    if end < len(text):
+        snippet = snippet + " …"
+    return snippet
+
+
+def test_snippet_multiterm_byte_parity(spark):
+    long_tail = "filler words here " * 30
+    texts = [
+        "",  # empty → ''
+        "short text with a table inside",  # hit, whole text fits
+        "Table at the very start " + long_tail,  # hit at pos 0 (start==0, end<len)
+        long_tail + " the table appears late " + long_tail,  # hit mid → both ellipses
+        long_tail + "tail table",  # hit near end → prefix ellipsis only
+        "no match but quite long " + long_tail,  # no hit, len>max_len
+        "no match short",  # no hit, short → unchanged
+        "  spark leads but TABLE is earlier? no - spark first " + long_tail,  # multi-term min pos
+        "aaa spark bbb " + long_tail + " table ccc",  # spark hit before table hit
+    ]
+    query = "table spark"
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: r.s
+        for r in df.select("i", tfidf.snippet_col(F.col("text"), query).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _make_snippet_ref(t, query), f"case {i}: {got[i]!r}"
+    # window-size parameter honored
+    g2 = df.select("i", tfidf.snippet_col(F.col("text"), query, max_len=60).alias("s")).collect()
+    for r in g2:
+        assert r.s == _make_snippet_ref(texts[r.i], query, max_len=60)
