@@ -86,19 +86,42 @@ def generate_edges(path: str, n_edges: int, n_nodes: int, partitions: int) -> No
     spark.stop()
 
 
-def run_level(cpus: int, edges_path: str, max_iter: int, tol: float, partitions: int) -> dict:
-    """Worker: one PageRank run at local[cpus]; prints one JSON line."""
+def run_level(
+    cpus: int,
+    edges_path: str,
+    max_iter: int,
+    tol: float,
+    partitions: int,
+    mode: str = "broadcast",
+    salt: int = 16,
+) -> dict:
+    """Worker: one PageRank run at local[cpus]; prints one JSON line.
+
+    mode 'broadcast' — rank vector broadcast into the cached adjacency
+    (exchange-free SpMV; the n ≤ BROADCAST_NODE_LIMIT strategy).
+    mode 'shuffle' — shuffle gather with (dst, salt) two-stage skew split:
+    the strategy PageRank auto-selects at web scale, where the rank vector
+    is too big to broadcast and every iteration pays an edge-sized shuffle.
+    """
     from engine.operators.pagerank import pagerank
 
     spark = _session(cpus, partitions)
     edges = spark.read.parquet(edges_path)
+    kw = (
+        {"broadcast_ranks": False, "salt_buckets": salt}
+        if mode == "shuffle"
+        else {"broadcast_ranks": True}
+    )
     t0 = time.time()
-    res = pagerank(edges, tol=tol, max_iter=max_iter, num_partitions=partitions, check_every=4)
+    res = pagerank(
+        edges, tol=tol, max_iter=max_iter, num_partitions=partitions, check_every=4, **kw
+    )
     res.ranks.count()
     total_wall = time.time() - t0
     walls = [m["wall_sec"] for m in res.metrics]
     med = statistics.median(walls)
     out = {
+        "mode": mode,
         "cpus": cpus,
         "n": res.num_nodes,
         "m": res.num_edges,
@@ -119,12 +142,12 @@ def run_level(cpus: int, edges_path: str, max_iter: int, tol: float, partitions:
     return out
 
 
-def write_report(cfg: dict, all_trials: list[dict]) -> None:
+def _best_and_pairs(trials: list[dict]) -> tuple[dict[int, dict], list[dict]]:
     # best trial per level (max throughput): interference on the shared
     # sandbox host only ever slows a run down, so max-over-trials is the
     # least-contaminated estimate of true capacity at each level
     best: dict[int, dict] = {}
-    for r in all_trials:
+    for r in trials:
         c = r["cpus"]
         if c not in best or r["edges_per_sec_per_iter"] > best[c]["edges_per_sec_per_iter"]:
             best[c] = r
@@ -134,7 +157,18 @@ def write_report(cfg: dict, all_trials: list[dict]) -> None:
         factor = b / a
         eff = best[b]["edges_per_sec_per_iter"] / (factor * best[a]["edges_per_sec_per_iter"])
         pairs.append({"n": a, "kn": b, "factor": factor, "efficiency": round(eff, 4)})
+    return best, pairs
+
+
+def write_report(cfg: dict, all_trials: list[dict]) -> None:
+    bc_trials = [r for r in all_trials if r.get("mode", "broadcast") == "broadcast"]
+    sh_trials = [r for r in all_trials if r.get("mode") == "shuffle"]
+    best, pairs = _best_and_pairs(bc_trials)
+    sh_best, sh_pairs = _best_and_pairs(sh_trials)
+    levels = sorted(best)
+    sh_levels = sorted(sh_best)
     headline = pairs[0] if pairs else {"efficiency": 0.0, "n": 0, "kn": 0, "factor": 0}
+    sh_headline = sh_pairs[0] if sh_pairs else None
     summary = {
         "metric": "pagerank_edges_per_sec_per_iter",
         "best_per_level": {str(c): best[c] for c in levels},
@@ -142,6 +176,11 @@ def write_report(cfg: dict, all_trials: list[dict]) -> None:
         "pairs": pairs,
         "headline_pair": f"local[{headline['n']}] -> local[{headline['kn']}]",
         "scaling_efficiency": headline["efficiency"],
+        "shuffle_path": {
+            "best_per_level": {str(c): sh_best[c] for c in sh_levels},
+            "pairs": sh_pairs,
+            "scaling_efficiency": sh_headline["efficiency"] if sh_headline else None,
+        },
         "target": 0.8,
         "passes": headline["efficiency"] >= 0.8,
         "config": cfg,
@@ -151,16 +190,29 @@ def write_report(cfg: dict, all_trials: list[dict]) -> None:
     import pyspark
 
     hi = levels[-1]
-    rows = "\n".join(
-        f"| local[{c}] | {best[c]['iterations']} | {best[c]['median_iter_sec']} "
-        f"| {best[c]['min_iter_sec']} | {best[c]['edges_per_sec_per_iter']:,.0f} |"
-        for c in levels
-    )
-    pair_rows = "\n".join(
-        f"| local[{p['n']}] → local[{p['kn']}] (×{p['factor']:.0f} cores) | {p['efficiency']:.3f} "
-        f"| {'PASS' if p['efficiency'] >= 0.8 else 'below target'} |"
-        for p in pairs
-    )
+
+    def _level_rows(b, lv):
+        return "\n".join(
+            f"| local[{c}] | {b[c]['iterations']} | {b[c]['median_iter_sec']} "
+            f"| {b[c]['min_iter_sec']} | {b[c]['edges_per_sec_per_iter']:,.0f} |"
+            for c in lv
+        )
+
+    def _pair_rows(ps):
+        return "\n".join(
+            f"| local[{p['n']}] → local[{p['kn']}] (×{p['factor']:.0f} cores) | {p['efficiency']:.3f} "
+            f"| {'PASS' if p['efficiency'] >= 0.8 else 'below target'} |"
+            for p in ps
+        )
+
+    rows = _level_rows(best, levels)
+    pair_rows = _pair_rows(pairs)
+    sh_rows = _level_rows(sh_best, sh_levels)
+    sh_pair_rows = _pair_rows(sh_pairs)
+    sh_head_n = sh_headline["n"] if sh_headline else 0
+    sh_head_kn = sh_headline["kn"] if sh_headline else 0
+    sh_head_eff = sh_headline["efficiency"] if sh_headline else 0.0
+    sh_head_verdict = "PASS" if sh_head_eff >= 0.8 else "MISS"
     md = f"""# BENCH — N vs 4N parallelism scaling (north metric evidence)
 
 Authoritative target (BASELINE.json): *PageRank edges-processed/sec per
@@ -227,18 +279,28 @@ reported anyway for transparency.
 Per-iteration delta-L1 (identical across levels — same plan, same input):
 first checks at local[{hi}] = {[f"{d:.3e}" for d in best[hi]["delta_l1"][:3]]}.
 
-## Shuffle+salt path validation (n above the broadcast limit)
+## Shuffle+salt path scaling (n above the broadcast limit — the 100 TB strategy)
 
 The scaling table above exercises the broadcast-gather strategy
 (n = 500k ≤ BROADCAST_NODE_LIMIT). The web-scale strategy — shuffle gather
-with explicit (dst, salt) two-stage aggregation, auto-selected when the rank
-vector is too big to broadcast — was validated separately at
-**n = 5,000,000 nodes / 50,000,000 Zipf-skewed edges** on local[32]
-(salt_buckets=16, 64 partitions): per-iteration wall 8.2-22.8 s (warm-up
-down to steady state), Σrank = 1 ± 5e-14 every checked iteration, delta-L1
-monotone decreasing — ≈6M edges/sec/iter in the regime where every
-iteration pays a full edge-sized shuffle. Same recurrence, verified equal
-to the broadcast path on shared inputs (tests/test_pagerank.py::
+with explicit (dst, salt={cfg["salt"]}) two-stage aggregation, auto-selected
+when the rank vector is too big to broadcast — is measured with the SAME
+protocol on its own above-the-limit table:
+**n = {cfg["sh_nodes"]:,} nodes / {cfg["sh_edges"]:,} generated Zipf-skewed
+edges**, where every iteration pays a full edge-sized shuffle.
+
+| parallelism | iterations | median iter (s) | min iter (s) | edges/sec/iter |
+|---|---|---|---|---|
+{sh_rows}
+
+| N → 4N pair | scaling efficiency = tput(4N)/(4·tput(N)) | verdict |
+|---|---|---|
+{sh_pair_rows}
+
+**Shuffle-path headline (N={sh_head_n} → 4N={sh_head_kn}):
+{sh_head_eff:.3f}** (target ≥ 0.8 → {sh_head_verdict}).
+Σrank = 1 ± 5e-14 at every checked iteration; same recurrence, verified
+equal to the broadcast path on shared inputs (tests/test_pagerank.py::
 test_broadcast_and_shuffle_gather_agree).
 
 ## Graph-kernel validation at 1M nodes / 10M edges (local[32])
@@ -262,19 +324,27 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=400_000_000)
     ap.add_argument("--nodes", type=int, default=500_000)
+    ap.add_argument("--shuffle-edges", type=int, default=50_000_000)
+    ap.add_argument("--shuffle-nodes", type=int, default=5_000_000)
+    ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--max-iter", type=int, default=8)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--levels", default="2,8,32")
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--skip-shuffle-path", action="store_true")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--edges-path", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--mode", default="broadcast", help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 
     if args.worker:
-        out = run_level(args.worker, args.edges_path, args.max_iter, args.tol, args.partitions)
+        out = run_level(
+            args.worker, args.edges_path, args.max_iter, args.tol, args.partitions,
+            mode=args.mode, salt=args.salt,
+        )
         print("RESULT " + json.dumps(out))
         return 0
 
@@ -283,39 +353,55 @@ def main(argv=None):
     if not os.path.exists(os.path.join(edges_path, "_SUCCESS")):
         print(f"generating {args.edges:,} edges -> {edges_path}", file=sys.stderr)
         generate_edges(edges_path, args.edges, args.nodes, args.partitions)
+    # separate, smaller table for the shuffle path: n is ABOVE the broadcast
+    # limit (the strategy's actual regime) and every iteration shuffles the
+    # whole edge set, so edge count is sized to keep local[2] trials sane
+    sh_path = str(DATA_DIR / f"edges_{args.shuffle_edges}_{args.shuffle_nodes}.parquet")
+    modes = [("broadcast", edges_path)]
+    if not args.skip_shuffle_path:
+        if not os.path.exists(os.path.join(sh_path, "_SUCCESS")):
+            print(f"generating {args.shuffle_edges:,} edges -> {sh_path}", file=sys.stderr)
+            generate_edges(sh_path, args.shuffle_edges, args.shuffle_nodes, args.partitions)
+        modes.append(("shuffle", sh_path))
 
     levels = [int(x) for x in args.levels.split(",")]
     results = []
     # interleave trials (2,8,32,2,8,32,...) so a noisy window on the shared
     # host hits all levels equally instead of biasing one
     for trial in range(args.trials):
-        for cpus in levels:
-            print(f"trial {trial + 1}/{args.trials} local[{cpus}] ...", file=sys.stderr)
-            proc = subprocess.run(
-                [
-                    sys.executable, __file__,
-                    "--worker", str(cpus),
-                    "--edges-path", edges_path,
-                    "--max-iter", str(args.max_iter),
-                    "--tol", str(args.tol),
-                    "--partitions", str(args.partitions),
-                ],
-                capture_output=True, text=True, cwd=str(REPO), timeout=5400,
-            )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
-            if not line:
-                print(proc.stdout[-2000:], file=sys.stderr)
-                print(proc.stderr[-4000:], file=sys.stderr)
-                raise RuntimeError(f"worker local[{cpus}] failed")
-            results.append(json.loads(line[-1][len("RESULT "):]))
-            print(
-                f"  -> {results[-1]['edges_per_sec_per_iter']:,.0f} edges/sec/iter",
-                file=sys.stderr,
-            )
+        for mode, path in modes:
+            for cpus in levels:
+                print(f"trial {trial + 1}/{args.trials} {mode} local[{cpus}] ...", file=sys.stderr)
+                proc = subprocess.run(
+                    [
+                        sys.executable, __file__,
+                        "--worker", str(cpus),
+                        "--edges-path", path,
+                        "--mode", mode,
+                        "--salt", str(args.salt),
+                        "--max-iter", str(args.max_iter),
+                        "--tol", str(args.tol),
+                        "--partitions", str(args.partitions),
+                    ],
+                    capture_output=True, text=True, cwd=str(REPO), timeout=5400,
+                )
+                line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+                if not line:
+                    print(proc.stdout[-2000:], file=sys.stderr)
+                    print(proc.stderr[-4000:], file=sys.stderr)
+                    raise RuntimeError(f"worker {mode} local[{cpus}] failed")
+                results.append(json.loads(line[-1][len("RESULT "):]))
+                print(
+                    f"  -> {results[-1]['edges_per_sec_per_iter']:,.0f} edges/sec/iter",
+                    file=sys.stderr,
+                )
 
     cfg = {
         "n_edges_requested": args.edges,
         "n_nodes": args.nodes,
+        "sh_edges": args.shuffle_edges,
+        "sh_nodes": args.shuffle_nodes,
+        "salt": args.salt,
         "max_iter": args.max_iter,
         "tol": args.tol,
         "partitions": args.partitions,

@@ -392,6 +392,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("combined_score", 6).alias("combined_score"),
         )
 
+    def q2_search_api(spark, sf):
+        # the FULL /api/search response shape (api/main.py:367-419):
+        # url, snippet, tfidf_score, pagerank_score (raw), combined_score
+        d = _t(spark, sf, "documents")
+        postings, idf, _ = tfidf.build_postings_with_idf(d, id_col="doc_id", text_col="text")
+        pr = textstats.add_token_counts(d, "text").select(
+            F.col("doc_id").alias("url"), F.col("n_tokens_re").cast("double").alias("score")
+        )
+        out = tfidf.search_api(
+            postings, idf, pr, d, "spark join table", top_k=10, id_col="doc_id", text_col="text"
+        )
+        return out.select(
+            F.col("url").alias("doc_id"),
+            "snippet",
+            F.round("tfidf_score", 6).alias("tfidf_score"),
+            "pagerank_score",
+            F.round("combined_score", 6).alias("combined_score"),
+        )
+
     def d3_minhash_lsh_pairs(spark, sf):
         d = _t(spark, sf, "documents")
         return dedupe.minhash_lsh_dedupe_pairs(d, "doc_id", "text", threshold=0.5).select(
@@ -534,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p2_dense_ids": p2_dense_ids,
         "sim1_cosine_topk": sim1_cosine_topk,
         "q1_combined_search": q1_combined_search,
+        "q2_search_api": q2_search_api,
         # rows-only (iterative / hash-function-specific — no portable SQL);
         # deliberately LAST so every oracle-gated query is graded first
         "i1_pagerank": i1_pagerank,
@@ -940,6 +960,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(0.8 * h.tfidf_score + 0.2 * COALESCE(p.pagerank_norm, 0.0), 6) AS DOUBLE) AS combined_score
             FROM hits h LEFT JOIN prn p ON h.doc_id = p.doc_id
             ORDER BY combined_score DESC, h.doc_id ASC LIMIT 10
+        """,
+        "q2_search_api": f"""
+            WITH tf AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), tfc AS (
+                SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2
+            ), n AS (
+                SELECT count(DISTINCT doc_id) AS n FROM tfc
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tfc GROUP BY term
+            ), idf AS (
+                SELECT term, ln((1 + n.n) / (1 + dfreq.df)) + 1.0 AS idf FROM dfreq, n
+            ), w AS (
+                SELECT tfc.doc_id, tfc.term, tfc.tf * idf.idf AS w
+                FROM tfc JOIN idf ON tfc.term = idf.term
+            ), norms AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+            ), q AS (
+                SELECT t.term, 1.0 * idf.idf AS qw FROM (VALUES ('spark'), ('join'), ('table')) t(term)
+                JOIN idf ON t.term = idf.term
+            ), qn AS (
+                SELECT sqrt(sum(qw * qw)) AS qnorm FROM q
+            ), dots AS (
+                SELECT w.doc_id, sum(q.qw * w.w) AS dot FROM w JOIN q ON w.term = q.term GROUP BY w.doc_id
+            ), hits AS (
+                SELECT d.doc_id, d.dot / (qn.qnorm * norms.nrm) AS tfidf_score
+                FROM dots d, qn JOIN norms ON d.doc_id = norms.doc_id
+                ORDER BY tfidf_score DESC, d.doc_id ASC LIMIT 30
+            ), pr AS (
+                SELECT doc_id, len({_TOK})::DOUBLE AS score FROM documents
+            ), mm AS (
+                SELECT min(score) AS mn,
+                       CASE WHEN max(score) > min(score) THEN max(score) - min(score) ELSE 1.0 END AS span
+                FROM pr
+            ), prn AS (
+                SELECT pr.doc_id, pr.score, (pr.score - mm.mn) / mm.span AS pagerank_norm FROM pr, mm
+            ), ranked AS (
+                SELECT h.doc_id, h.tfidf_score,
+                       COALESCE(p.score, 0.0) AS pagerank_score,
+                       0.8 * h.tfidf_score + 0.2 * COALESCE(p.pagerank_norm, 0.0) AS combined_score
+                FROM hits h LEFT JOIN prn p ON h.doc_id = p.doc_id
+                ORDER BY combined_score DESC, h.doc_id ASC LIMIT 10
+            ), snip AS (
+                SELECT doc_id, text, length(text) AS len,
+                       least(
+                           CASE WHEN position('spark' IN lower(text)) > 0 THEN position('spark' IN lower(text)) END,
+                           CASE WHEN position('join' IN lower(text)) > 0 THEN position('join' IN lower(text)) END,
+                           CASE WHEN position('table' IN lower(text)) > 0 THEN position('table' IN lower(text)) END
+                       ) AS pos
+                FROM documents
+            ), snip2 AS (
+                SELECT doc_id, text, len, pos, greatest(pos - 1 - 73, 0) AS start0 FROM snip
+            )
+            SELECT r.doc_id,
+                   CASE
+                       WHEN s.text IS NULL OR s.len = 0 THEN ''
+                       WHEN s.pos IS NULL THEN CASE WHEN s.len > 220 THEN substring(s.text, 1, 220) || '…' ELSE s.text END
+                       ELSE (CASE WHEN s.start0 > 0 THEN '… ' ELSE '' END)
+                            || regexp_replace(substring(s.text, s.start0 + 1, 220), '^\\s+|\\s+$', '', 'g')
+                            || (CASE WHEN least(s.len, s.start0 + 220) < s.len THEN ' …' ELSE '' END)
+                   END AS snippet,
+                   CAST(round(r.tfidf_score, 6) AS DOUBLE) AS tfidf_score,
+                   r.pagerank_score,
+                   CAST(round(r.combined_score, 6) AS DOUBLE) AS combined_score
+            FROM ranked r JOIN snip2 s ON r.doc_id = s.doc_id
         """,
         "g4_triangles_per_vertex": f"""
             WITH und AS (

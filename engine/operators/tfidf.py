@@ -111,13 +111,23 @@ def search(
 
 def minmax_normalize(scores: DataFrame, col: str = "score") -> DataFrame:
     """(url, score) -> (url, score, score_norm) min-max normalized to [0,1]
-    (api/main.py:116-127; span 1.0 when max==min)."""
+    (api/main.py:116-127; span 1.0 when max==min).
+
+    The min/max pair is a lazy 1-row aggregate broadcast into the
+    projection — no driver round-trip, no separate job: the whole
+    normalization is one plan (same pattern as pagerank's dangling-mass
+    scalar)."""
     stats = scores.agg(
-        F.min(col).alias("mn"), F.max(col).alias("mx")
-    ).collect()[0]
-    span = (stats.mx - stats.mn) if (stats.mx is not None and stats.mx > stats.mn) else 1.0
-    mn = stats.mn if stats.mn is not None else 0.0
-    return scores.withColumn("score_norm", (F.col(col) - F.lit(mn)) / F.lit(span))
+        F.coalesce(F.min(col), F.lit(0.0)).alias("_mn"),
+        F.when(F.max(col) > F.min(col), F.max(col) - F.min(col))
+        .otherwise(F.lit(1.0))
+        .alias("_span"),
+    )
+    return (
+        scores.crossJoin(F.broadcast(stats))
+        .withColumn("score_norm", (F.col(col) - F.col("_mn")) / F.col("_span"))
+        .drop("_mn", "_span")
+    )
 
 
 def combined_search(
@@ -153,6 +163,65 @@ def combined_search(
         )
     )
     return out.orderBy(F.desc("combined_score"), F.asc("url")).limit(top_k)
+
+
+def search_api(
+    postings: DataFrame,
+    idf: DataFrame,
+    pagerank_scores: DataFrame,
+    docs: DataFrame,
+    query: str,
+    top_k: int = 10,
+    id_col: str = "url",
+    text_col: str = "text",
+    max_len: int = 220,
+    tfidf_weight: float = 0.8,
+    pr_weight: float = 0.2,
+) -> DataFrame:
+    """The FULL /api/search response shape (api/main.py:367-419): one row per
+    result with (url, snippet, tfidf_score, pagerank_score, combined_score).
+
+    Composition of the endpoint's steps as one DAG: over-fetch 3·k TF-IDF
+    hits → left-join raw + min-max-normalized PageRank (missing → 0.0) →
+    combined = 0.8·tfidf + 0.2·pr_norm → re-rank, cut to k → join page text
+    (docs rows without a page are skipped, like the reference's
+    `pages_by_url.get` guard) → multi-term snippet around the first query-
+    term hit. The final top-k is broadcast into the docs join — the big
+    table is never shuffled for k rows."""
+    hits = search(postings, idf, query, top_k=top_k * 3)
+    pr = minmax_normalize(pagerank_scores, "score").select(
+        "url",
+        F.col("score").alias("pagerank_score"),
+        F.col("score_norm").alias("pagerank_norm"),
+    )
+    ranked = (
+        hits.join(pr, "url", "left")
+        .select(
+            "url",
+            "tfidf_score",
+            F.coalesce("pagerank_score", F.lit(0.0)).alias("pagerank_score"),
+            F.coalesce("pagerank_norm", F.lit(0.0)).alias("pagerank_norm"),
+        )
+        .withColumn(
+            "combined_score",
+            F.lit(tfidf_weight) * F.col("tfidf_score")
+            + F.lit(pr_weight) * F.col("pagerank_norm"),
+        )
+        .orderBy(F.desc("combined_score"), F.asc("url"))
+        .limit(top_k)
+    )
+    pages = docs.select(F.col(id_col).alias("url"), F.col(text_col).alias("_text"))
+    return (
+        pages.join(F.broadcast(ranked), "url")
+        .select(
+            "url",
+            snippet_col(F.col("_text"), query, max_len).alias("snippet"),
+            "tfidf_score",
+            "pagerank_score",
+            "combined_score",
+        )
+        .orderBy(F.desc("combined_score"), F.asc("url"))
+    )
 
 
 def snippet_col(text_col, query: str, max_len: int = 220):
@@ -199,6 +268,40 @@ def snippet_col(text_col, query: str, max_len: int = 220):
 def rank_index(scores: DataFrame, score_col: str = "score") -> DataFrame:
     """rank = i+1 in score-desc order (api/main.py:281-291, T5).
     Note: a global row_number is a single-partition window — fine for top-k
-    result sets (its only use in the reference), not for full tables."""
+    result sets (its only use in the reference), not for full tables; use
+    rank_index_distributed for those."""
     w = Window.orderBy(F.desc(score_col))
     return scores.withColumn("rank", F.row_number().over(w))
+
+
+def rank_index_distributed(
+    scores: DataFrame,
+    score_col: str = "score",
+    key_col: str = "url",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full-table global rank (1-based, score desc, key asc tie-break) with
+    NO single-partition window — the scale path for ranking 10⁹ rows.
+
+    Same two-phase pattern as graph.dense_node_ids: range-partition on the
+    total order (score desc, key asc) → per-partition row_number →
+    per-partition counts → prefix-sum offsets (≤P tiny rows) broadcast back;
+    global rank = offset + local row_number."""
+    spark = scores.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order = [F.col(score_col).desc(), F.col(key_col).asc()]
+    ranged = scores.repartitionByRange(P, *order).withColumn(
+        "_p", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_p").orderBy(*order)
+    local = ranged.withColumn("_rn", F.row_number().over(w_local).cast("long"))
+    counts = ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_p", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).cast("long").alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_p")
+        .withColumn("rank", F.col("_off") + F.col("_rn"))
+        .drop("_p", "_rn", "_off")
+    )

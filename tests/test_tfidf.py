@@ -140,3 +140,44 @@ def test_snippet_multiterm_byte_parity(spark):
     g2 = df.select("i", tfidf.snippet_col(F.col("text"), query, max_len=60).alias("s")).collect()
     for r in g2:
         assert r.s == _make_snippet_ref(texts[r.i], query, max_len=60)
+
+
+def test_search_api_full_response_shape(docs_df, spark):
+    """search_api composes the whole /api/search endpoint (api/main.py:367-419):
+    url, snippet, tfidf_score, pagerank_score (raw), combined_score."""
+    postings, idf, _ = tfidf.build_postings_with_idf(docs_df)
+    pr = spark.createDataFrame(
+        [("u1", 0.5), ("u2", 0.3), ("u3", 0.2)], "url string, score double"
+    )
+    query = "pages link"
+    res = tfidf.search_api(postings, idf, pr, docs_df, query, top_k=3).collect()
+    assert [r.url for r in res]  # non-empty
+    assert res[0].__fields__ == ["url", "snippet", "tfidf_score", "pagerank_score", "combined_score"]
+    raw = {"u1": 0.5, "u2": 0.3, "u3": 0.2}
+    norm = {"u1": 1.0, "u2": 1 / 3, "u3": 0.0}
+    for r in res:
+        assert r.pagerank_score == raw.get(r.url, 0.0)
+        assert r.combined_score == pytest.approx(
+            0.8 * r.tfidf_score + 0.2 * norm.get(r.url, 0.0)
+        )
+        assert r.snippet == _make_snippet_ref(DOCS[r.url], query)
+    scores = [r.combined_score for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rank_index_distributed_matches_window(spark):
+    """The two-phase distributed ranker must equal the single-window ranker
+    (total order: score desc, url asc) and never cross into Python."""
+    import random
+
+    from engine.plans import inspect as pi
+
+    rng = random.Random(13)
+    rows = [(f"u{i}", float(rng.randrange(50))) for i in range(500)]  # many ties
+    df = spark.createDataFrame(rows, "url string, score double")
+    got = {r.url: r.rank for r in tfidf.rank_index_distributed(df, num_partitions=7).collect()}
+    exp_rows = sorted(rows, key=lambda kv: (-kv[1], kv[0]))
+    exp = {u: i + 1 for i, (u, _) in enumerate(exp_rows)}
+    assert got == exp
+    out = tfidf.rank_index_distributed(df, num_partitions=7)
+    assert not pi.has_python_eval(out)
