@@ -554,12 +554,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim1_cosine_topk": sim1_cosine_topk,
         "q1_combined_search": q1_combined_search,
         "q2_search_api": q2_search_api,
+        "g1_connected_components": g1_connected_components,
         # rows-only (iterative / hash-function-specific — no portable SQL);
         # deliberately LAST so every oracle-gated query is graded first
         "i1_pagerank": i1_pagerank,
         "i2_personalized_pagerank": i2_personalized_pagerank,
         "g6_hits": g6_hits,
-        "g1_connected_components": g1_connected_components,
         "g2_label_propagation": g2_label_propagation,
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_fingerprints": d4_simhash_fingerprints,
@@ -1047,6 +1047,24 @@ def oracle_sql() -> dict[str, str]:
                 WHERE w.dist < 20
             )
             SELECT id, min(dist) AS dist FROM walk GROUP BY id
+        """,
+        # CC exact-label oracle: undirected reachability closure per node,
+        # label = min reachable id — grades the large/small-star kernel's
+        # exact-match contract (label = min id in component) end-to-end
+        "g1_connected_components": f"""
+            WITH RECURSIVE e AS ({_EDGES_SQL}),
+            und AS (
+                SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                UNION
+                SELECT dst AS a, src AS b FROM e WHERE src <> dst
+            ),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+            reach(id, r) AS (
+                SELECT id, id AS r FROM nodes
+                UNION
+                SELECT re.id, u.b AS r FROM reach re JOIN und u ON u.a = re.r
+            )
+            SELECT id, min(r) AS label FROM reach GROUP BY id
         """,
         "g3_triangle_count": f"""
             WITH und AS (

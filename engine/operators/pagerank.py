@@ -178,6 +178,14 @@ def pagerank(
         # one exchange-free stage; shuffle gather: partition by src so only
         # the small rank vector shuffles into the join
         .repartition(P, "dst" if broadcast_ranks else "src")
+        # one-time clustering by the per-iteration probe/join key, paid at
+        # build and amortized over every iteration: broadcast path — rows
+        # with equal src are adjacent, so the hashed-relation probe hits the
+        # same entry ~avg-outdeg times in a row (cache-resident) instead of
+        # a random DRAM-latency miss per edge; shuffle path — the cached
+        # relation carries outputOrdering(src), so a sort-merge gather join
+        # reuses it instead of re-sorting the edge side every iteration
+        .sortWithinPartitions("src")
         .persist()
     )
     num_edges = adj.count()  # materialize
