@@ -331,6 +331,13 @@ Best trial per cell:
 **Headline (N={headline["n"]} → 4N={headline["kn"]}): {headline["efficiency"]:.3f}**
 (target ≥ 0.8 → {"PASS" if headline["efficiency"] >= 0.8 else "MISS"}).
 
+A pair efficiency **above 1.0** is a noise artifact, not superlinear
+scaling: hypervisor steal only ever slows a cell, and the low-thread cell
+runs ~4× longer per trial, so it is the more likely of the two to never
+catch a steal-free window — its best trial then under-reads true capacity
+and the ratio overshoots. More trial rounds tighten it toward the real
+value (every raw trial is in results.json).
+
 Per-iteration delta-L1 is identical across levels of a pair — same plan,
 same input (raw values in results.json).
 
@@ -414,12 +421,22 @@ def main(argv=None):
         "with the trials already in BENCH/results.json, regenerate the report "
         "— same best-of-trials protocol, more draws per cell (host steal).",
     )
+    ap.add_argument(
+        "--report-only", action="store_true",
+        help="regenerate BASELINE.md + summary from the banked results.json "
+        "without running anything",
+    )
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--edges-path", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--mode", default="broadcast", help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
+    if args.report_only:
+        prior = json.loads((BENCH_DIR / "results.json").read_text())
+        write_report(prior["config"], prior["all_trials"])
+        return 0
 
     if args.worker:
         out = run_level(
