@@ -422,6 +422,11 @@ def main(argv=None):
         "— same best-of-trials protocol, more draws per cell (host steal).",
     )
     ap.add_argument(
+        "--only", choices=("broadcast", "shuffle"), default=None,
+        help="restrict the trial round to one gather mode's cells (useful "
+        "with --merge-trials to add draws where the host was noisiest)",
+    )
+    ap.add_argument(
         "--report-only", action="store_true",
         help="regenerate BASELINE.md + summary from the banked results.json "
         "without running anything",
@@ -484,6 +489,8 @@ def main(argv=None):
         results = prior["all_trials"]
         prior_rounds = prior.get("config", {}).get("trials", 0)
         n_rounds = args.merge_trials
+    if args.only:
+        cells = [c for c in cells if c[0] == args.only]
     # interleave trial rounds so a noisy window on the shared host hits all
     # cells equally instead of biasing one
     for trial in range(n_rounds):
