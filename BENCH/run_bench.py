@@ -427,6 +427,17 @@ def main(argv=None):
         "with --merge-trials to add draws where the host was noisiest)",
     )
     ap.add_argument(
+        "--only-input", choices=("small", "big", "sh"), default=None,
+        help="restrict the trial round to one input table's cells; combine "
+        "with --drop-input when that table's size changed so stale banked "
+        "trials don't mix with the new table's",
+    )
+    ap.add_argument(
+        "--drop-input", default=None,
+        help="with --merge-trials: discard banked trials of this input name "
+        "before merging (use when regenerating that table at a new size)",
+    )
+    ap.add_argument(
         "--report-only", action="store_true",
         help="regenerate BASELINE.md + summary from the banked results.json "
         "without running anything",
@@ -487,10 +498,14 @@ def main(argv=None):
     if args.merge_trials:
         prior = json.loads((BENCH_DIR / "results.json").read_text())
         results = prior["all_trials"]
+        if args.drop_input:
+            results = [r for r in results if r["input"] != args.drop_input]
         prior_rounds = prior.get("config", {}).get("trials", 0)
         n_rounds = args.merge_trials
     if args.only:
         cells = [c for c in cells if c[0] == args.only]
+    if args.only_input:
+        cells = [c for c in cells if c[1] == args.only_input]
     # interleave trial rounds so a noisy window on the shared host hits all
     # cells equally instead of biasing one
     for trial in range(n_rounds):

@@ -76,10 +76,50 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     )
 
 
-# ---------------------------------------------------------------- token jaccard
+# ---------------------------------------------------------------- cutoffs
 
 MAX_SHINGLE_DF = 10_000  # a shingle shared by k docs contributes k² candidates
+MAX_BUCKET_SIZE = 10_000  # an LSH bucket with k members emits k² candidate rows
 
+
+def _cap_hot_buckets(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    metrics: dict | None = None,
+    label: str = "lsh",
+) -> DataFrame:
+    """Drop every row belonging to a (keys)-bucket with more than
+    `max_bucket_size` members — the k²-blowup guard for LSH candidate
+    self-joins (boilerplate-identical web pages share every band; one bucket
+    of 10⁶ docs would emit 10¹² candidate rows before distinct()). Same
+    df-cutoff pattern as `token_jaccard_pairs`' max_shingle_df.
+
+    No silent caps: pass `metrics={}` to get bucket/row drop counts back
+    (one extra small aggregation job); callers are expected to supplement
+    exact-duplicate connectivity separately (see the signature-star unions
+    in minhash/simhash below) so capping never orphans exact dupes."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    if metrics is not None:
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.coalesce(
+                F.sum(F.when(F.col("_bsz") > max_bucket_size, F.lit(1))), F.lit(0)
+            ).alias("dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("_bsz") > max_bucket_size, F.col("_bsz"))), F.lit(0)
+            ).alias("rows"),
+        ).collect()[0]
+        metrics[f"{label}_buckets_total"] = int(row["total"])
+        metrics[f"{label}_buckets_dropped"] = int(row["dropped"])
+        metrics[f"{label}_bucket_rows_dropped"] = int(row["rows"])
+    hot = sizes.filter(F.col("_bsz") > max_bucket_size).select(*keys)
+    return banded.join(hot, keys, "left_anti")
+
+
+# ---------------------------------------------------------------- token jaccard
 
 def token_jaccard_pairs(
     docs: DataFrame,
@@ -87,29 +127,42 @@ def token_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_n: int = 1,
-    max_shingle_df: int | None = MAX_SHINGLE_DF,
+    max_shingle_df: int | None = None,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard over pairs sharing ≥1 non-frequent shingle.
 
     Blocking on shared shingles means disjoint pairs are never materialized.
-    Candidate generation drops shingles with document frequency >
-    `max_shingle_df` (a stop-shingle shared by 10⁶ docs would otherwise emit
-    10¹² candidate rows — the standard published-dedup-pipeline cutoff); the
-    Jaccard itself is then verified EXACTLY over the full (uncut) shingle
-    sets, so reported values are never approximated. The only approximation
-    is recall: a pair whose overlap is exclusively frequent shingles is
-    missed — by construction such pairs are dominated by boilerplate.
-    `max_shingle_df=None` disables the cutoff (exact blocking).
+    With `max_shingle_df` set, candidate generation drops shingles with
+    document frequency > the cutoff (a stop-shingle shared by 10⁶ docs would
+    otherwise emit 10¹² candidate rows — the standard published-dedup-pipeline
+    cutoff); the Jaccard itself is then verified EXACTLY over the full (uncut)
+    shingle sets, so reported values are never approximated. The only
+    approximation is recall: a pair whose overlap is exclusively frequent
+    shingles is missed — by construction such pairs are dominated by
+    boilerplate. The DEFAULT is None (exact blocking, exact-by-construction
+    vs an all-pairs oracle); at web scale pass MAX_SHINGLE_DF (or your own
+    cutoff) explicitly. With `metrics={}` the cutoff's drop counts are
+    reported back (no silent caps).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     sh = _doc_shingles(docs, id_col, text_col, shingle_n)
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_shingle_df)
-            .select("shingle")
-        )
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        if metrics is not None:
+            row = dfreq.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_df") > max_shingle_df, F.lit(1))), F.lit(0)
+                ).alias("dropped"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_df") > max_shingle_df, F.col("_df"))), F.lit(0)
+                ).alias("rows"),
+            ).collect()[0]
+            metrics["shingles_total"] = int(row["total"])
+            metrics["shingles_dropped"] = int(row["dropped"])
+            metrics["shingle_rows_dropped"] = int(row["rows"])
+        hot = dfreq.filter(F.col("_df") > max_shingle_df).select("shingle")
         blockable = sh.join(hot, "shingle", "left_anti")
     else:
         blockable = sh
@@ -172,10 +225,23 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Band the signature into `bands` groups of r = k/bands rows; docs
-    sharing any band bucket are candidates. Returns distinct (id_a, id_b)."""
+    sharing any band bucket are candidates. Returns distinct (id_a, id_b).
+
+    Hot-bucket guard: (band, bucket) buckets larger than `max_bucket_size`
+    are dropped from the self-join (k docs in a bucket emit k² rows — at web
+    scale boilerplate-identical pages share EVERY band). Signature-identical
+    docs are re-connected via a min-rep star union (O(k) rows, found by one
+    hash-agg on the full signature), so exact/near-exact duplicates never
+    lose connectivity to the cap; only cross-signature pairs whose sole
+    collision is a hot bucket are sacrificed (documented recall cutoff —
+    pass `metrics={}` for drop counts). max_bucket_size=None disables."""
     r = num_hashes // bands
     assert bands * r == num_hashes
     pieces = []
@@ -191,14 +257,27 @@ def minhash_lsh_candidates(
     banded = pieces[0]
     for p in pieces[1:]:
         banded = banded.union(p)
+    banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size, metrics, "minhash")
     left = banded.select("band", "bucket", F.col("doc").alias("id_a"))
     right = banded.select("band", "bucket", F.col("doc").alias("id_b"))
-    return (
+    cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if max_bucket_size is not None:
+        # signature-identical star: min-doc rep per full signature -> others.
+        # O(group size) rows where the banded join would emit O(size²); a
+        # strict subset of the uncapped candidate set (id_a = group min < id_b).
+        sig_cols = [f"mh{j}" for j in range(num_hashes)]
+        rep = signatures.groupBy(*sig_cols).agg(F.min("doc").alias("id_a"))
+        star = (
+            signatures.join(rep, sig_cols)
+            .filter(F.col("doc") != F.col("id_a"))
+            .select("id_a", F.col("doc").alias("id_b"))
+        )
+        cand = cand.union(star)
+    return cand.distinct()
 
 
 def minhash_lsh_dedupe_pairs(
@@ -209,6 +288,8 @@ def minhash_lsh_dedupe_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: candidates from banding, then exact
     Jaccard verification over shingle sets. Returns (id_a, id_b, jaccard).
@@ -219,7 +300,7 @@ def minhash_lsh_dedupe_pairs(
     pinning the exploded shingles in executor memory at scale)."""
     sh = _doc_shingles(docs, id_col, text_col, shingle_n)
     sigs = _signatures_from_shingles(sh, num_hashes)
-    cand = minhash_lsh_candidates(sigs, num_hashes, bands)
+    cand = minhash_lsh_candidates(sigs, num_hashes, bands, max_bucket_size, metrics)
     return _verify_jaccard(cand, sh, threshold)
 
 
@@ -271,13 +352,24 @@ def simhash_fingerprints(
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, chunks: int = 4
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into `chunks` 16-bit pieces; any pair
     within distance < chunks must share a piece — candidates come from
-    equi-joins on (chunk_idx, chunk_value), then exact bit_count verify."""
+    equi-joins on (chunk_idx, chunk_value), then exact bit_count verify.
+
+    Hot-bucket guard (same k²-blowup class as the MinHash bands): (chunk,
+    piece) buckets above `max_bucket_size` are dropped from the self-join;
+    fingerprint-identical docs (hamming 0 — the boilerplate case that makes
+    buckets hot in the first place) are re-connected via a min-rep star on
+    the full 64-bit fingerprint, O(k) rows per group. `metrics={}` reports
+    drop counts; max_bucket_size=None disables."""
     width = 64 // chunks
     mask = (1 << width) - 1
     pieces = []
@@ -295,12 +387,20 @@ def simhash_near_pairs(
     banded = pieces[0]
     for p in pieces[1:]:
         banded = banded.union(p)
+    banded = _cap_hot_buckets(banded, ["chunk", "piece"], max_bucket_size, metrics, "simhash")
     left = banded.select("chunk", "piece", F.col("doc").alias("id_a"), F.col("simhash").alias("fa"))
     right = banded.select("chunk", "piece", F.col("doc").alias("id_b"), F.col("simhash").alias("fb"))
-    return (
+    cand = (
         left.join(right, ["chunk", "piece"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    if max_bucket_size is not None:
+        rep = fingerprints.groupBy("simhash").agg(F.min("doc").alias("id_a"))
+        star = (
+            fingerprints.join(rep, "simhash")
+            .filter(F.col("doc") != F.col("id_a"))
+            .select("id_a", F.col("doc").alias("id_b"), F.lit(0).cast("int").alias("hamming"))
+        )
+        cand = cand.union(star)
+    return cand.distinct().filter(F.col("hamming") <= max_hamming)

@@ -37,6 +37,7 @@ def hits(
     num_partitions: int | None = None,
     broadcast_scores: bool | None = None,
     salt_buckets: int | None = None,
+    check_every: int = 1,
 ) -> HitsResult:
     """Returns (id, hub DOUBLE, authority DOUBLE) over src ∪ dst.
 
@@ -51,6 +52,13 @@ def hits(
     None (default) → auto: broadcast iff n ≤ pagerank.BROADCAST_NODE_LIMIT.
     Both strategies compute the identical recurrence (float sum order may
     differ at the last ulp).
+
+    check_every: cadence of the convergence-stats job (the 4-way delta join +
+    driver collect), mirroring pagerank's check_every — the recurrence itself
+    never needs it, so with k > 1 the non-check iterations run without any
+    driver round-trip beyond the half-step norms, at the cost of up to k-1
+    iterations past convergence. Metrics carry delta_l1 only on check
+    iterations.
     """
     import time
 
@@ -118,23 +126,27 @@ def hits(
         t0 = time.time()
         a_new = _half_step(h, "src", "dst").localCheckpoint(eager=True)
         h_new = _half_step(a_new, "dst", "src").localCheckpoint(eager=True)
-        stats = (
-            h_new.withColumnRenamed("s", "hn")
-            .join(h.withColumnRenamed("s", "ho"), "id")
-            .join(a_new.withColumnRenamed("s", "an"), "id")
-            .join(a.withColumnRenamed("s", "ao"), "id")
-            .agg(
-                (
-                    F.sum(F.abs(F.col("hn") - F.col("ho")))
-                    + F.sum(F.abs(F.col("an") - F.col("ao")))
-                ).alias("delta")
+        m = {"iter": it}
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            stats = (
+                h_new.withColumnRenamed("s", "hn")
+                .join(h.withColumnRenamed("s", "ho"), "id")
+                .join(a_new.withColumnRenamed("s", "an"), "id")
+                .join(a.withColumnRenamed("s", "ao"), "id")
+                .agg(
+                    (
+                        F.sum(F.abs(F.col("hn") - F.col("ho")))
+                        + F.sum(F.abs(F.col("an") - F.col("ao")))
+                    ).alias("delta")
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        delta = float(stats["delta"])
-        metrics.append({"iter": it, "delta_l1": delta, "wall_sec": round(time.time() - t0, 4)})
+            delta = float(stats["delta"])
+            m["delta_l1"] = delta
+        m["wall_sec"] = round(time.time() - t0, 4)
+        metrics.append(m)
         h, a = h_new, a_new
-        if delta < tol:
+        if "delta_l1" in m and delta < tol:
             converged = True
             break
 

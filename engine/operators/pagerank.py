@@ -155,7 +155,11 @@ def pagerank(
         # (or the session default, ~2-3x total cores, wins). The estimate
         # comes from Catalyst's optimizer statistics (file sizes for scans —
         # NO job, no extra full pass over a 100 TB table), not a count().
-        P = max(2, min(conf_p, (_estimate_rows(edges, bytes_per_row=16) // 250_000) + 1))
+        # When statistics are unusable (unknown-size sentinel, join-derived
+        # plans) the estimate is 0: fall back to the session default rather
+        # than collapsing a possibly-huge derived edge table to 2 partitions.
+        est = _estimate_rows(edges, bytes_per_row=16)
+        P = conf_p if est <= 0 else max(2, min(conf_p, (est // 250_000) + 1))
 
     if nodes is None:
         mx = edges.agg(

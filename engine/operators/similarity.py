@@ -55,16 +55,19 @@ def _num_blocks(embeddings: DataFrame, num_blocks: int | None, rows_per_block: i
 
 
 def _grid(spark, num_blocks: int, ordered: bool) -> DataFrame:
-    """B×B block-pair grid (tiny driver-side table, broadcast). ordered=True
-    keeps all B² cells (every ordered pair appears once); ordered=False keeps
-    the upper triangle incl. diagonal (every unordered pair appears once)."""
-    cells = [
-        (i, j)
-        for i in range(num_blocks)
-        for j in range(num_blocks)
-        if ordered or i <= j
-    ]
-    return spark.createDataFrame(cells, "_ba int, _bb int")
+    """B×B block-pair grid, generated JVM-side as explode(sequence(...)) over
+    spark.range — near the 2M-vector auto-blocking ceiling B≈2000 means ~4M
+    cells, which must never be a driver-side Python list shipped through
+    createDataFrame (and a range×range cross join would be a
+    BroadcastNestedLoopJoin — also banned in this plan family).
+    ordered=True yields all B² cells (every ordered pair appears once);
+    ordered=False the upper triangle incl. diagonal (every unordered pair
+    appears once)."""
+    ids = spark.range(num_blocks).select(F.col("id").cast("int").alias("_ba"))
+    lo = F.lit(0) if ordered else F.col("_ba")
+    return ids.select(
+        "_ba", F.explode(F.sequence(lo, F.lit(num_blocks - 1))).alias("_bb")
+    )
 
 
 def _block_pairs(
@@ -180,6 +183,9 @@ def hyperplane_buckets(
     return out
 
 
+MAX_BUCKET_SIZE = 10_000  # an LSH bucket with k members emits k² candidate rows
+
+
 def _lsh_candidates(
     embeddings: DataFrame,
     planes_per_table: int,
@@ -187,16 +193,43 @@ def _lsh_candidates(
     seed: int,
     id_col: str,
     vec_col: str,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    metrics: dict | None = None,
 ) -> DataFrame:
-    """Distinct (query_id, neighbor_id) sharing any LSH bucket."""
+    """Distinct (query_id, neighbor_id) sharing any LSH bucket.
+
+    Hot-bucket guard (same k²-blowup class as the dedupe LSH bands —
+    dedupe._cap_hot_buckets): (table, bucket) buckets above `max_bucket_size`
+    are dropped from the self-join. Vectors with an IDENTICAL full bucket
+    signature across all tables (exact/near-exact duplicate embeddings — the
+    case that makes buckets hot) are re-connected via a min-rep star in both
+    directions, O(k) rows per group, so every member keeps its cosine-1
+    rep as a candidate. Only cross-signature pairs whose sole collision is a
+    hot bucket are sacrificed (bounded extra recall loss on an already
+    recall<1 method; `metrics={}` reports drop counts)."""
+    from engine.operators.dedupe import _cap_hot_buckets
+
     buckets = hyperplane_buckets(embeddings, planes_per_table, tables, seed, id_col, vec_col)
-    return (
-        buckets.select("table", "bucket", F.col("id").alias("query_id"))
-        .join(buckets.select("table", "bucket", F.col("id").alias("neighbor_id")), ["table", "bucket"])
+    capped = _cap_hot_buckets(buckets, ["table", "bucket"], max_bucket_size, metrics, "hyperplane")
+    cand = (
+        capped.select("table", "bucket", F.col("id").alias("query_id"))
+        .join(capped.select("table", "bucket", F.col("id").alias("neighbor_id")), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
+    if max_bucket_size is not None:
+        sig = buckets.groupBy("id").agg(
+            F.sort_array(F.collect_list(F.struct("table", "bucket"))).alias("_sig")
+        )
+        rep = sig.groupBy("_sig").agg(F.min("id").alias("_rep"))
+        members = sig.join(rep, "_sig").filter(F.col("id") != F.col("_rep"))
+        star = members.select(
+            F.col("_rep").alias("query_id"), F.col("id").alias("neighbor_id")
+        ).union(
+            members.select(F.col("id").alias("query_id"), F.col("_rep").alias("neighbor_id"))
+        )
+        cand = cand.union(star)
+    return cand.distinct()
 
 
 def lsh_ann_topk(
@@ -207,10 +240,14 @@ def lsh_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Approximate k-NN: candidates from shared LSH buckets (any table),
     exact cosine re-rank. Same output shape as cosine_topk."""
-    cand = _lsh_candidates(embeddings, planes_per_table, tables, seed, id_col, vec_col)
+    cand = _lsh_candidates(
+        embeddings, planes_per_table, tables, seed, id_col, vec_col, max_bucket_size, metrics
+    )
     e = with_norm(embeddings, id_col, vec_col)
     q = e.select(F.col("id").alias("query_id"), F.col("vec").alias("qv"), F.col("norm").alias("qn"))
     d = e.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("dv"), F.col("norm").alias("dn"))
@@ -241,6 +278,8 @@ def embedding_near_duplicates(
     planes_per_table: int = 8,
     tables: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a, id_b, cosine ≥ threshold).
 
@@ -260,7 +299,9 @@ def embedding_near_duplicates(
         return pairs.filter(F.col("cosine") >= threshold)
     if method != "lsh":
         raise ValueError(f"unknown method {method!r}")
-    cand = _lsh_candidates(embeddings, planes_per_table, tables, seed, id_col, vec_col)
+    cand = _lsh_candidates(
+        embeddings, planes_per_table, tables, seed, id_col, vec_col, max_bucket_size, metrics
+    )
     e = with_norm(embeddings, id_col, vec_col)
     a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na"))
     b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb"))

@@ -183,11 +183,13 @@ def search_api(
 
     Composition of the endpoint's steps as one DAG: over-fetch 3·k TF-IDF
     hits → left-join raw + min-max-normalized PageRank (missing → 0.0) →
-    combined = 0.8·tfidf + 0.2·pr_norm → re-rank, cut to k → join page text
-    (docs rows without a page are skipped, like the reference's
-    `pages_by_url.get` guard) → multi-term snippet around the first query-
-    term hit. The final top-k is broadcast into the docs join — the big
-    table is never shuffled for k rows."""
+    combined = 0.8·tfidf + 0.2·pr_norm → join page text (candidates without
+    a pages row are skipped BEFORE the top-k cut, exactly the reference's
+    `pages_by_url.get` guard at api/main.py:392-394 — a missing page backfills
+    the next candidate instead of shrinking the result) → re-rank, cut to k →
+    multi-term snippet around the first query-term hit. The 3·k candidate set
+    is broadcast into the docs join — the big table is never shuffled — and
+    the cut is a TakeOrderedAndProject over the joined candidates."""
     hits = search(postings, idf, query, top_k=top_k * 3)
     pr = minmax_normalize(pagerank_scores, "score").select(
         "url",
@@ -207,12 +209,12 @@ def search_api(
             F.lit(tfidf_weight) * F.col("tfidf_score")
             + F.lit(pr_weight) * F.col("pagerank_norm"),
         )
-        .orderBy(F.desc("combined_score"), F.asc("url"))
-        .limit(top_k)
     )
     pages = docs.select(F.col(id_col).alias("url"), F.col(text_col).alias("_text"))
     return (
         pages.join(F.broadcast(ranked), "url")
+        .orderBy(F.desc("combined_score"), F.asc("url"))
+        .limit(top_k)
         .select(
             "url",
             snippet_col(F.col("_text"), query, max_len).alias("snippet"),

@@ -59,6 +59,17 @@ def read_schema(df: DataFrame) -> str:
     return "; ".join(out)
 
 
+def partition_filters(df: DataFrame) -> str:
+    """PartitionFilters clause(s) of the scan nodes — evidence a predicate on
+    a partition column prunes directories at planning time instead of being
+    evaluated per row."""
+    out = []
+    for line in physical_plan(df).splitlines():
+        if "PartitionFilters:" in line:
+            out.append(line.split("PartitionFilters:", 1)[1].split(", PushedFilters")[0].strip().rstrip(","))
+    return "; ".join(out)
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider = more fusion)."""
     import re

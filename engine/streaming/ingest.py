@@ -20,6 +20,30 @@ from engine.datagen import PAGES_SCHEMA
 from engine.operators import graph
 
 
+def _guard_fresh_sink_dir(spark: SparkSession, out_path: str) -> None:
+    """Fail fast on an upgraded-in-place output directory: batch readers of a
+    streaming-file-sink directory resolve files through _spark_metadata, so
+    parquet files written to out_path by anything OTHER than this sink (e.g.
+    a plain batch append) are invisible to them — silent data loss. The sink
+    output directory must be fresh or already a file-sink directory."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(out_path + "/_spark_metadata")):
+        return
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.endswith(".parquet") or name.endswith(".snappy.parquet"):
+            raise ValueError(
+                f"streaming sink target {out_path!r} already holds parquet files "
+                "with no _spark_metadata commit log: those files would be "
+                "invisible to log-aware readers. Use a fresh directory, or "
+                "migrate the existing files into the metadata log first."
+            )
+
+
 def read_pages_stream(
     spark: SparkSession, path: str, max_files: int = 4
 ) -> DataFrame:
@@ -45,6 +69,8 @@ def stream_extract_edges(
     transformation is the exact batch DAG (graph.extract_pages/
     build_edges_url), so streamed output == batch output over the same files.
     """
+
+    _guard_fresh_sink_dir(pages_stream.sparkSession, out_path)
 
     pages = graph.filter_lang(pages_stream, target_lang)
     ex = graph.extract_pages(pages)

@@ -153,6 +153,92 @@ def test_simhash_near_pairs_banding(spark):
     assert wide[(1, 2)] == 2
 
 
+def test_minhash_hot_bucket_cap_adversarial(spark):
+    """The dominant web-scale case: 10⁴ boilerplate-IDENTICAL docs share
+    every band, so the uncapped (band, bucket) self-join would emit ~10⁸
+    candidate rows (k² blowup). With the cap: hot buckets are dropped from
+    the join, the signature-star re-connects the identical docs in O(k)
+    rows, drop counts are surfaced (no silent caps), and near-dup clustering
+    still collapses the clones to one representative."""
+    n = 10_000
+    base = "identical boilerplate page body shared by every mirror of the site"
+    clones = spark.range(n).select(F.col("id").alias("doc_id"), F.lit(base).alias("text"))
+    docs = clones.union(
+        spark.createDataFrame(
+            [(n, "one unique document about completely different matters entirely")],
+            "doc_id long, text string",
+        )
+    )
+    metrics: dict = {}
+    pairs = dedupe.minhash_lsh_dedupe_pairs(
+        docs, threshold=0.5, max_bucket_size=100, metrics=metrics
+    )
+    # bounded: exactly the n-1 star pairs (rep=0 -> clone), all jaccard 1.0
+    got = pairs.collect()
+    assert len(got) == n - 1
+    assert all(r.id_a == 0 and r.jaccard == 1.0 for r in got)
+    assert metrics["minhash_buckets_dropped"] > 0
+    assert metrics["minhash_bucket_rows_dropped"] >= n  # ≥ one full band of clones
+    kept = sorted(r.doc_id for r in dedupe.drop_near_duplicates(docs, pairs).collect())
+    assert kept == [0, n]
+
+
+def test_simhash_hot_bucket_cap_adversarial(spark):
+    """Same k²-blowup guard on the SimHash (chunk, piece) join: identical
+    fingerprints re-connect via the fingerprint star at hamming 0."""
+    n = 10_000
+    fps = spark.range(n).select(F.col("id").alias("doc"), F.lit(0x1234ABCD5678 << 8).alias("simhash"))
+    fps = fps.union(spark.createDataFrame([(n, 0x7FFFFFFFFFFFFFFF)], "doc long, simhash long"))
+    metrics: dict = {}
+    got = dedupe.simhash_near_pairs(fps, max_hamming=3, max_bucket_size=100, metrics=metrics).collect()
+    assert len(got) == n - 1
+    assert all(r.id_a == 0 and r.hamming == 0 for r in got)
+    assert metrics["simhash_buckets_dropped"] > 0
+
+
+def test_simhash_cap_parity_on_small_data(spark):
+    """A cap that never triggers must not change results (star pairs are a
+    subset of the uncapped candidate set)."""
+    f1 = 0b1010_1111_0000_1100
+    rows = [(1, f1), (2, f1 ^ 0b0110), (3, f1), (4, ~f1 & 0x7FFFFFFFFFFFFFFF)]
+    fps = spark.createDataFrame(rows, "doc long, simhash long")
+    uncapped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedupe.simhash_near_pairs(fps, max_hamming=3, max_bucket_size=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedupe.simhash_near_pairs(fps, max_hamming=3, max_bucket_size=1000).collect()
+    }
+    assert capped == uncapped == {(1, 2): 2, (1, 3): 0, (2, 3): 2}
+
+
+def test_hyperplane_hot_bucket_cap_adversarial(spark):
+    """The hyperplane LSH bucket join gets the same guard: 10⁴ identical
+    embeddings share every (table, bucket); capped, every clone keeps its
+    cosine-1 rep as a candidate via the both-direction signature star."""
+    n = 10_000
+    clones = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5), F.lit(0.25), F.lit(0.0)).cast("array<float>").alias("embedding"),
+    )
+    df = clones.union(
+        spark.createDataFrame(
+            [(n, [0.0, 0.0, 0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+    )
+    metrics: dict = {}
+    top1 = similarity.lsh_ann_topk(
+        df, k=1, planes_per_table=4, tables=2, max_bucket_size=100, metrics=metrics
+    )
+    got = {r.query_id: (r.neighbor_id, r.cosine) for r in top1.collect()}
+    assert metrics["hyperplane_buckets_dropped"] > 0
+    # every clone's nearest neighbor is its rep (or, for the rep, some clone)
+    assert got[0][0] in range(1, n) and got[0][1] == pytest.approx(1.0)
+    for q in (1, 17, n - 1):
+        assert got[q] == (0, pytest.approx(1.0))
+
+
 def test_cosine_topk_exact(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

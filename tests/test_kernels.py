@@ -220,6 +220,26 @@ def test_hits_broadcast_and_shuffle_gather_agree(spark):
         assert abs(b[i][0] - sl[i][0]) < 1e-12 and abs(b[i][1] - sl[i][1]) < 1e-12
 
 
+def test_hits_check_every_cadence(spark):
+    """check_every=k skips the convergence-stats job on non-check iterations
+    (pagerank's cadence contract): same scores after a fixed iteration count,
+    delta_l1 present only on check iterations."""
+    from engine.operators.hits import hits
+
+    edges = _load_edges(REF_1K, limit=2000)
+    df = _edges_df(spark, edges)
+    every = hits(df, tol=1e-12, max_iter=12, check_every=1)
+    cadence = hits(df, tol=1e-12, max_iter=12, check_every=4)
+    assert every.iterations == cadence.iterations == 12
+    e = {r.id: (r.hub, r.authority) for r in every.scores.collect()}
+    c = {r.id: (r.hub, r.authority) for r in cadence.scores.collect()}
+    for i in e:
+        assert abs(e[i][0] - c[i][0]) < 1e-12 and abs(e[i][1] - c[i][1]) < 1e-12
+    checked = [m["iter"] for m in cadence.metrics if "delta_l1" in m]
+    assert checked == [3, 7, 11]
+    assert all("wall_sec" in m for m in cadence.metrics)
+
+
 def test_cc_resume_refuses_different_edge_set(spark, tmp_path):
     """The manifest's input-identity guard: a checkpoint written for one edge
     set must not be resumed for another — the second run restarts fresh and

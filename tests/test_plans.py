@@ -68,6 +68,37 @@ def test_parquet_filter_pushdown_and_pruning(spark):
     assert "l_orderkey" in rs and "l_comment" not in rs
 
 
+def test_partition_pruning_on_lang_partitioned_layout(spark, tmp_path):
+    """SURVEY §1.4/§4.2: the pages layout is Hive/Iceberg-style partitioned
+    (here by lang) and a lang predicate prunes partitions at PLANNING time.
+    Two gates: (a) the predicate appears as a PartitionFilter on the scan;
+    (b) behavioral proof — after corrupting every parquet file of the OTHER
+    partitions, the pruned query still runs (their files are never opened)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, "en").when(F.col("doc_id") % 3 == 1, "de").otherwise("fr")
+    )
+    path = str(tmp_path / "pages_by_lang")
+    docs.write.partitionBy("lang").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("lang") == "en").select("doc_id", "text")
+    pf = pi.partition_filters(q)
+    assert "lang" in pf and "en" in pf, pf
+    # data filters must NOT contain the partition predicate (it never runs per row)
+    assert "lang" not in pi.pushed_filters(q)
+
+    import pathlib
+
+    sch = spark.read.parquet(path).schema  # before corruption (footer inference)
+    corrupted = 0
+    for part in ("lang=de", "lang=fr"):
+        for f in pathlib.Path(path, part).glob("*.parquet"):
+            f.write_bytes(b"not a parquet file")
+            corrupted += 1
+    assert corrupted > 0
+    n_en = spark.read.schema(sch).parquet(path).filter(F.col("lang") == "en").count()
+    assert n_en == docs.filter(F.col("lang") == "en").count()
+
+
 def test_text_paths_are_pure_catalyst(spark):
     """Tokenization / TF-IDF / textstats never cross into Python."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")

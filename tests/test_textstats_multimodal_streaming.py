@@ -206,6 +206,31 @@ def test_stream_extract_edges_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == len(got)
 
 
+def test_stream_sink_rejects_unmanaged_parquet_dir(spark, tmp_path):
+    """Upgrade-in-place guard: parquet files written to the sink directory by
+    anything other than the file sink (no _spark_metadata) would be invisible
+    to log-aware readers — the sink must fail fast instead of silently
+    orphaning them."""
+    from engine import datagen
+    from engine.streaming import ingest
+
+    pages = datagen.generate_pages_df(spark, 10, seed=3, partitions=1)
+    pages_dir = str(tmp_path / "pages_in2")
+    pages.write.parquet(pages_dir)
+
+    out = str(tmp_path / "edges_preexisting")
+    # simulate a previous plain batch append (no commit log)
+    spark.range(3).select(F.col("id").alias("src"), F.col("id").alias("dst")).write.parquet(out)
+
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        ingest.stream_extract_edges(
+            ingest.read_pages_stream(spark, pages_dir, max_files=1),
+            out,
+            str(tmp_path / "ck2"),
+            base_domain=datagen.BASE_DOMAIN,
+        )
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed agg with a 1h watermark across two checkpointed
     runs: the watermark persisted by run 1 drops run 2's late event."""

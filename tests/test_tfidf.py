@@ -165,6 +165,23 @@ def test_search_api_full_response_shape(docs_df, spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_search_api_backfills_missing_pages(docs_df, spark):
+    """Reference guard semantics (api/main.py:392-394): a ranked url with no
+    pages row is skipped BEFORE the top-k cut, so the next candidate
+    backfills — the response never shrinks below k while candidates remain."""
+    postings, idf, _ = tfidf.build_postings_with_idf(docs_df)
+    pr = spark.createDataFrame([("u1", 0.5)], "url string, score double")
+    query = "pages link"
+    full = tfidf.search_api(postings, idf, pr, docs_df, query, top_k=2).collect()
+    assert len(full) == 2
+    # remove the top result's page row: the previous #3 must backfill to #2
+    docs_missing = docs_df.filter(F.col("url") != full[0].url)
+    got = tfidf.search_api(postings, idf, pr, docs_missing, query, top_k=2).collect()
+    assert len(got) == 2
+    assert full[0].url not in [r.url for r in got]
+    assert got[0].url == full[1].url
+
+
 def test_rank_index_distributed_matches_window(spark):
     """The two-phase distributed ranker must equal the single-window ranker
     (total order: score desc, url asc) and never cross into Python."""
