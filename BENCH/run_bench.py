@@ -406,7 +406,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges", type=int, default=400_000_000, help="big table edges")
     ap.add_argument("--nodes", type=int, default=500_000, help="big/small table nodes")
-    ap.add_argument("--small-edges", type=int, default=100_000_000)
+    ap.add_argument("--small-edges", type=int, default=200_000_000)
     ap.add_argument("--shuffle-edges", type=int, default=50_000_000)
     ap.add_argument("--shuffle-nodes", type=int, default=5_000_000)
     ap.add_argument("--salt", type=int, default=0)
