@@ -4,6 +4,7 @@ that the Arrow UDFs wrap — fast, no SparkSession."""
 from __future__ import annotations
 
 import re
+from urllib.parse import urlparse
 
 from hypothesis import given, settings, strategies as st
 
@@ -59,8 +60,12 @@ def test_normalize_url_contract(u):
 def test_resolve_href_relative_stays_on_host(base, rel):
     out = resolve_href(base, rel)
     assert out.startswith("http://")
-    base_host = base.split("://", 1)[1].split("/", 1)[0].lower()
-    out_host = out.split("://", 1)[1].split("/", 1)[0]
+    # parse hosts with urlparse, not string splitting: the reference's
+    # all-slash-path quirk (crawler/core.py:53-56) can leave an EMPTY path
+    # before a query ("http://h//?q=x" -> "http://h?q=x"), where a naive
+    # split-on-"/" would swallow the query into the "host"
+    base_host = urlparse(base).netloc.lower()
+    out_host = urlparse(out).netloc
     assert out_host == base_host  # relative hrefs resolve within the page host
 
 
