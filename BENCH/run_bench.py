@@ -433,6 +433,11 @@ def main(argv=None):
         "trials don't mix with the new table's",
     )
     ap.add_argument(
+        "--only-cpus", type=int, nargs="*", default=None,
+        help="restrict the trial round to cells at these thread counts "
+        "(e.g. --only-cpus 2 8 to add draws to one pair's two cells only)",
+    )
+    ap.add_argument(
         "--drop-input", default=None,
         help="with --merge-trials: discard banked trials of this input name "
         "before merging (use when regenerating that table at a new size)",
@@ -506,6 +511,8 @@ def main(argv=None):
         cells = [c for c in cells if c[0] == args.only]
     if args.only_input:
         cells = [c for c in cells if c[1] == args.only_input]
+    if args.only_cpus:
+        cells = [c for c in cells if c[2] in set(args.only_cpus)]
     # interleave trial rounds so a noisy window on the shared host hits all
     # cells equally instead of biasing one
     for trial in range(n_rounds):
