@@ -13,10 +13,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from engine.operators.pagerank import _estimate_rows
 
-def _oriented(edges: DataFrame) -> DataFrame:
+# Broadcast the per-vertex degree table into the orientation joins when the
+# edge table is small enough that the vertex set surely fits (≤ 2 endpoints
+# per edge × ~16 B/row → ≤ ~64 MB). Above it (the 10^12-edge case) the two
+# degree attaches run as plain shuffle joins.
+BROADCAST_DEGREE_EDGE_LIMIT = 2_000_000
+
+
+def _oriented(edges: DataFrame, broadcast_degrees: bool | None = None) -> DataFrame:
     """Undirected simple graph oriented by (degree, id): (a -> b) with
-    rank(a) < rank(b). Returns columns (a, b)."""
+    rank(a) < rank(b). Returns columns (a, b).
+
+    broadcast_degrees: None (default) → auto from Catalyst's edge-row
+    estimate (no job): broadcast the O(n) degree table into both attach
+    joins when the graph is small, shuffle-join otherwise; unknown stats
+    fall back to the scale-safe shuffle path."""
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
@@ -26,6 +39,11 @@ def _oriented(edges: DataFrame) -> DataFrame:
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
     deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    if broadcast_degrees is None:
+        est = _estimate_rows(edges, bytes_per_row=16)
+        broadcast_degrees = 0 < est <= BROADCAST_DEGREE_EDGE_LIMIT
+    if broadcast_degrees:
+        deg = F.broadcast(deg)
     du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
     j = und.join(du, "u").join(dv, "v")
@@ -39,30 +57,46 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
+def _adjacency(edges: DataFrame) -> DataFrame:
+    """(a, nbrs): sorted oriented adjacency list per vertex.
+
+    Persisted (memory-and-disk): both sides of the intersection join derive
+    from this one table, and without the pin Spark re-executes the entire
+    upstream (distinct + degree attach + orientation + collect_list) once per
+    branch — a measured ~2× on the whole kernel. O(n) rows / O(m) array
+    entries, disk-backed, freed by the ContextCleaner when the result plan
+    is dropped."""
+    from pyspark import StorageLevel
+
+    o = _oriented(edges)
+    adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+    return adj.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _per_edge_intersections(adj: DataFrame) -> DataFrame:
+    """(a, b, na, nb): every oriented edge with both endpoints' adjacency
+    lists attached. The (a, na, b) side is derived by EXPLODING the adjacency
+    table itself — the oriented edge list is exactly groupBy(a)+explode, so
+    re-joining it back on `a` (the textbook three-table formulation) would
+    pay a whole extra shuffle join for rows we already have. Only the `b`
+    attach remains a join."""
+    ea = adj.select("a", F.col("nbrs").alias("na"), F.explode("nbrs").alias("b"))
+    adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb"))
+    return ea.join(adj_b, "b")
+
+
 def triangle_rows(edges: DataFrame) -> DataFrame:
     """One row (a, b, c) per triangle (each exactly once): for every oriented
     edge (a,b), explode the sorted-adjacency intersection N+(a) ∩ N+(b)."""
-    o = _oriented(edges)
-    adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
-    adj_a = adj.select(F.col("a"), F.col("nbrs").alias("na"))
-    adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb"))
-    return (
-        o.join(adj_a, "a")
-        .join(adj_b, "b")
-        .select("a", "b", F.explode(F.array_intersect("na", "nb")).alias("c"))
+    return _per_edge_intersections(_adjacency(edges)).select(
+        "a", "b", F.explode(F.array_intersect("na", "nb")).alias("c")
     )
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Single-row DataFrame (triangles BIGINT): total triangle count."""
-    o = _oriented(edges)
-    adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
-    adj_a = adj.select(F.col("a"), F.col("nbrs").alias("na"))
-    adj_b = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb"))
-    per_edge = (
-        o.join(adj_a, "a")
-        .join(adj_b, "b")
-        .select(F.size(F.array_intersect("na", "nb")).alias("t"))
+    per_edge = _per_edge_intersections(_adjacency(edges)).select(
+        F.size(F.array_intersect("na", "nb")).alias("t")
     )
     return per_edge.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("triangles"))
 
