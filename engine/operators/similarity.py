@@ -163,8 +163,8 @@ def hyperplane_buckets(
     `tables` independent hyperplane sets. Pure Catalyst: the projection onto
     plane p is aggregate over (dim, value) pairs with hash-derived weights."""
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    out = None
-    for t in range(tables):
+
+    def table_bucket(t: int):
         bucket = None
         for p in range(planes_per_table):
             proj = F.aggregate(
@@ -178,9 +178,16 @@ def hyperplane_buckets(
             )
             bit = F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
             bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-        piece = e.select("id", F.lit(t).alias("table"), bucket.alias("bucket"))
-        out = piece if out is None else out.union(piece)
-    return out
+        return bucket
+
+    # one posexplode branch, NOT a union of per-table projections — a union
+    # re-scans the source once per table.
+    return e.select(
+        "id",
+        F.posexplode(F.array(*[table_bucket(t) for t in range(tables)])).alias(
+            "table", "bucket"
+        ),
+    )
 
 
 MAX_BUCKET_SIZE = 10_000  # an LSH bucket with k members emits k² candidate rows
@@ -207,9 +214,15 @@ def _lsh_candidates(
     rep as a candidate. Only cross-signature pairs whose sole collision is a
     hot bucket are sacrificed (bounded extra recall loss on an already
     recall<1 method; `metrics={}` reports drop counts)."""
-    from engine.operators.dedupe import _cap_hot_buckets
+    from engine.operators.dedupe import _cap_hot_buckets, _pin
 
-    buckets = hyperplane_buckets(embeddings, planes_per_table, tables, seed, id_col, vec_col)
+    # pinned: the bucket table (planes_per_table × tables aggregate
+    # projections per vector — the expensive part) feeds the size cap, both
+    # self-join sides, and the signature star; unpinned, Spark re-runs the
+    # projections once per branch.
+    buckets = _pin(
+        hyperplane_buckets(embeddings, planes_per_table, tables, seed, id_col, vec_col)
+    )
     capped = _cap_hot_buckets(buckets, ["table", "bucket"], max_bucket_size, metrics, "hyperplane")
     cand = (
         capped.select("table", "bucket", F.col("id").alias("query_id"))
