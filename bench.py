@@ -47,7 +47,13 @@ def main():
     sf_label = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
-    extra: dict = {"repeats": REPEATS, "protocol": "median of repeats; raw trials kept"}
+    extra: dict = {
+        "repeats": REPEATS,
+        "protocol": "median of repeats; raw trials kept. Trial 1 of each query "
+        "is cold; later trials can reuse pinned intermediates (CacheManager "
+        "recognizes repeated identical plans), so the median reflects warm "
+        "steady-state re-query cost and trials[0] the cold first run",
+    }
 
     def timed(name, fn):
         walls = []

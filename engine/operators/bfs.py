@@ -28,7 +28,10 @@ def bfs_levels(
     """
     spark = edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = edges.select("src", "dst").repartition(P, "src")
+    # persisted: without the pin every round re-executes the src-repartition
+    # of the full edge table from source — the whole point of pre-partitioning
+    # is paying that shuffle once for the entire traversal.
+    e = edges.select("src", "dst").repartition(P, "src").persist()
 
     visited = (
         sources.select(F.col(sources.columns[0]).alias("id"))
@@ -51,4 +54,5 @@ def bfs_levels(
             break
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("id")
+    e.unpersist()  # visited is an eager checkpoint — safe to drop the edges pin
     return visited
