@@ -69,26 +69,49 @@ def main(argv=None):
     ap.add_argument("--nodes", type=int, default=500_000)
     ap.add_argument("--procs", type=int, nargs="*", default=[1, 4, 8, 32])
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument(
+        "--save", action="store_true",
+        help="merge best-kept cells into BENCH/membw.json (read by "
+        "run_bench.py's report writer, so the probe section survives "
+        "BASELINE.md regeneration)",
+    )
     args = ap.parse_args(argv)
 
     best: dict[int, float] = {}
+    draws: dict[int, int] = {}
+    saved = {}
+    save_path = None
+    if args.save:
+        from pathlib import Path
+
+        save_path = Path(__file__).resolve().parent / "membw.json"
+        if save_path.exists():
+            saved = {int(k): v for k, v in json.loads(save_path.read_text())["cells"].items()}
+            best = {p: c["edges_per_sec"] for p, c in saved.items()}
+            draws = {p: c["draws"] for p, c in saved.items()}
     for t in range(args.trials):  # interleaved, best kept (host steal)
         for p in args.procs:
             tput = run(p, args.edges, args.nodes, t)
             best[p] = max(best.get(p, 0.0), tput)
+            draws[p] = draws.get(p, 0) + 1
             print(f"trial {t + 1}/{args.trials} procs={p}: {tput:,.0f} gathered-edges/sec")
 
     rows = []
-    base = min(args.procs)
+    base = min(best)
     print("\n| procs | gathered-edges/sec | per-proc | efficiency vs x(procs) |")
     print("|---|---|---|---|")
     for p in sorted(best):
         eff = best[p] / (best[base] * p / base)
-        rows.append({"procs": p, "edges_per_sec": round(best[p]), "efficiency": round(eff, 3)})
+        rows.append({"procs": p, "edges_per_sec": round(best[p]),
+                     "efficiency": round(eff, 3), "draws": draws[p]})
         print(f"| {p} | {best[p]:,.0f} | {best[p] / p:,.0f} | {eff:.3f} |")
     print()
-    print(json.dumps({"probe": "numpy_gather_membw", "edges": args.edges,
-                      "nodes": args.nodes, "trials": args.trials, "cells": rows}))
+    out = {"probe": "numpy_gather_membw", "edges": args.edges,
+           "nodes": args.nodes, "cells": {str(r["procs"]): r for r in rows}}
+    print(json.dumps(out))
+    if save_path is not None:
+        save_path.write_text(json.dumps(out, indent=1))
+        print(f"saved -> {save_path}")
 
 
 if __name__ == "__main__":

@@ -255,6 +255,50 @@ def write_report(cfg: dict, all_trials: list[dict]) -> None:
             for p in ps
         )
 
+    def _membw_md():
+        """Render the engine-free memory-bandwidth control section from the
+        banked BENCH/membw.json (written by `membw_probe.py --save`), so the
+        probe evidence survives report regeneration. Empty if never run."""
+        path = BENCH_DIR / "membw.json"
+        if not path.exists():
+            return ""
+        mw = json.loads(path.read_text())
+        cells = sorted(mw["cells"].values(), key=lambda c: c["procs"])
+        base = cells[0]
+        rows = "\n".join(
+            f"| {c['procs']} | {c['edges_per_sec']:,} | "
+            f"{c['edges_per_sec'] // c['procs']:,} | "
+            f"{c['edges_per_sec'] / (base['edges_per_sec'] * c['procs'] / base['procs']):.3f} "
+            f"| {c['draws']} |"
+            for c in cells
+        )
+        return f"""
+### Engine-free control: the memory-bandwidth probe
+
+`BENCH/membw_probe.py` replicates the per-edge work of the broadcast
+gather in pure NumPy — stream a {mw['edges']:,}-entry int64 dst array,
+fancy-gather from a {mw['nodes']:,}-double rank vector, reduce — and runs
+P **fully independent processes** (no Spark, no JVM, no shuffle, no shared
+state, no GIL). Best-kept per cell:
+
+| procs | gathered-edges/sec (best) | per-proc | efficiency vs ×procs | draws |
+|---|---|---|---|---|
+{rows}
+
+Two conclusions. (1) **The high-thread cliff is the box, not the
+engine**: 32 independent native processes — with literally no software
+left to blame — collapse to ~0.04 efficiency, *worse* than the engine's
+own local[8]→local[32] pairs (0.44-0.54). Whatever bounds 32-way
+parallelism here (hypervisor steal + one socket's memory channels) binds
+before any Spark mechanism does. (2) **The steal magnitude is directly
+measured**: identical fixed work varied up to ~30× between draws of the
+same cell (procs=8: 34.6M → 1,011M edges/s; procs=1: 22.8M → 148.7M),
+which is why every bench in this file interleaves trials and keeps the
+best. Low-proc cells are the most spread-prone (a 4-proc draw landed
+*below* the 1-proc best in one banked round) — more draws only ever
+tighten upward. Re-run: `python BENCH/membw_probe.py --save`.
+"""
+
     sh_head_eff = sh_headline["efficiency"] if sh_headline else 0.0
     md = f"""# BENCH — N vs 4N parallelism scaling (north metric evidence)
 
@@ -315,7 +359,7 @@ memory channels and 4× shuffle fabric. At ≤ 4 threads the contention is
 negligible, so **local[1] → local[4] is the faithful single-box proxy**
 for the rule's N → 4N-executor criterion. The contended pairs are
 reported anyway for transparency.
-
+{_membw_md()}
 ## Broadcast-gather path (n ≤ BROADCAST_NODE_LIMIT)
 
 Best trial per cell:
