@@ -137,3 +137,44 @@ def test_extraction_is_arrow_batched(spark):
     plan = pi.physical_plan(ex)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python would be a regression
+
+
+def test_lsh_banding_single_branch(spark):
+    """LSH banding must be ONE posexplode branch, never a union of per-band
+    projections — a union re-executes the signature/fingerprint subtree once
+    per band (exchange reuse dedupes only the shuffle, not the aggregation)."""
+    from engine.operators import dedupe, similarity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedupe.minhash_signatures(docs, "doc_id", "text")
+    banded_only = dedupe.minhash_lsh_candidates(sigs, max_bucket_size=None)
+    assert "Union" not in pi.physical_plan(banded_only)
+    # with the hot-bucket cap, exactly ONE union is legitimate: candidates ∪
+    # signature-identical star — the banding itself must not add more
+    assert pi.physical_plan(dedupe.minhash_lsh_candidates(sigs)).count("Union") <= 1
+    fps = dedupe.simhash_fingerprints(docs, "doc_id", "text")
+    pairs = dedupe.simhash_near_pairs(fps)
+    # the signature-star path contributes one legitimate union of the two
+    # star directions; the banding itself must not multiply it: ≤ the star's
+    assert pi.physical_plan(pairs).count("Union") <= 1
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    buckets = similarity.hyperplane_buckets(emb, tables=4)
+    assert "Union" not in pi.physical_plan(buckets)
+    assert "Generate" in pi.physical_plan(buckets)  # the posexplode
+
+
+def test_multiuse_intermediates_are_pinned(spark):
+    """Intermediates consumed by ≥2 subplans (triangle adjacency, LSH
+    shingles/signatures) must be persisted: without the pin Spark re-executes
+    the whole upstream once per branch — a measured ~2-4× on these kernels."""
+    from engine.operators import dedupe, triangles
+
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7 + 1) % 50) for i in range(400)], "src long, dst long"
+    )
+    tri = triangles.triangle_count(edges)
+    assert "InMemoryTableScan" in pi.physical_plan(tri)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedupe.minhash_lsh_dedupe_pairs(docs, "doc_id", "text")
+    assert "InMemoryTableScan" in pi.physical_plan(pairs)
