@@ -122,16 +122,19 @@ def connected_components(
     if not (man and man.get("converged")):
         for rnd in range(start_round, max_rounds):
             t0 = time.time()
-            e_new = _small_star(_large_star(e)).repartition(P, "b").persist()
+            # ONE materialization per round: the eager localCheckpoint both
+            # truncates lineage and stores the blocks the convergence counts
+            # read (a persist+count THEN checkpoint pays a second full pass)
+            e_new = _small_star(_large_star(e)).repartition(P, "b").localCheckpoint(
+                eager=True
+            )
             cnt_new = e_new.count()
             # exact convergence: same cardinality and E_new ⊆ E  ⇒  E_new == E
             stable = cnt_new == n_edges and e_new.join(
                 e, ["b", "s"], "left_anti"
             ).count() == 0
-            e.unpersist()
+            e.unpersist()  # frees the round-0 canonical cache; no-op on checkpointed frames
             e, n_edges = e_new, cnt_new
-            # truncate lineage each round (the edge set is small after a few rounds)
-            e = e.localCheckpoint(eager=True)
             round_metrics.append(
                 {"iter": rnd, "edges": n_edges, "wall_sec": round(time.time() - t0, 4)}
             )

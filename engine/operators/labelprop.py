@@ -111,16 +111,19 @@ def label_propagation(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top")
         ).select(F.col("u").alias("id"), (-F.col("top.neg")).alias("new_label"))
 
+        # ONE materialization per round: the eager localCheckpoint (which the
+        # loop needs anyway for lineage truncation) doubles as the store the
+        # changed-count reads; old_label rides along so no second pass is paid
+        # for a separate projected checkpoint.
         new_labels = (
             nodes.join(best, "id", "left")
             .join(labels.withColumnRenamed("label", "old_label"), "id")
             .select("id", F.coalesce("new_label", "old_label").alias("label"), "old_label")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
-        labels.unpersist()
-        labels = new_labels.select("id", "label").localCheckpoint(eager=True)
-        new_labels.unpersist()
+        labels.unpersist()  # frees the init cache; no-op on checkpointed frames
+        labels = new_labels.select("id", "label")
         round_metrics.append(
             {"iter": it, "changed": changed, "wall_sec": round(time.time() - t0, 4)}
         )
