@@ -52,7 +52,11 @@ def bfs_levels(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # no re-checkpoint of the union: every level frame is already an
+        # eager checkpoint, so the union is a shallow tree of materialized
+        # leaves — re-checkpointing it would rewrite the ENTIRE visited set
+        # once per level (O(V·depth) block writes over the traversal)
+        visited = visited.union(nxt)
         frontier = nxt.select("id")
     e.unpersist()  # visited is an eager checkpoint — safe to drop the edges pin
     return visited
