@@ -436,9 +436,13 @@ non-PageRank kernels well beyond unit-test scale (64 partitions):
 
 | kernel | wall | result |
 |---|---|---|
-| connected components (large/small-star) | 39.0 s | 1 component (giant component, as expected at avg degree 10) |
-| label propagation (5 synchronous rounds) | 19.3 s | converged to 1 label |
-| triangle count (degree-oriented intersect) | 14.0 s | 120,452 triangles |
+| connected components (large/small-star) | 28.9 s (r2: 39.0) | 1 component (giant component, as expected at avg degree 10) |
+| label propagation (5 synchronous rounds) | 14.7 s (r2: 19.3) | converged to 1 label |
+| triangle count (degree-oriented intersect) | 13.1 s (r2: 14.0) | 120,452 triangles |
+
+(r3 re-measurement after the one-materialization-per-round and
+pinned-adjacency changes; identical outputs as the r2 run — the counts
+double as a large-scale regression check.)
 
 Re-run: `python BENCH/run_bench.py` (see module docstring for knobs).
 """
