@@ -241,9 +241,14 @@ def write_report(cfg: dict, all_trials: list[dict]) -> None:
         for (m, i, c), r in sorted(best.items(), key=lambda kv: (kv[0][1], kv[0][2])):
             if m != mode:
                 continue
+            draws = sum(
+                1
+                for t in all_trials
+                if (t.get("mode"), t.get("input"), t.get("cpus")) == (m, i, c)
+            )
             rows.append(
                 f"| {i} | local[{c}] | {r['iterations']} | {r['median_iter_sec']} "
-                f"| {r['min_iter_sec']} | {r['edges_per_sec_per_iter']:,.0f} |"
+                f"| {r['min_iter_sec']} | {r['edges_per_sec_per_iter']:,.0f} | {draws} |"
             )
         return "\n".join(rows)
 
@@ -364,8 +369,8 @@ reported anyway for transparency.
 
 Best trial per cell:
 
-| input | parallelism | iterations | median iter (s) | min iter (s) | edges/sec/iter |
-|---|---|---|---|---|---|
+| input | parallelism | iterations | median iter (s) | min iter (s) | edges/sec/iter | banked draws |
+|---|---|---|---|---|---|---|
 {_cell_rows("broadcast")}
 
 | N → 4N pair | tput N → 4N | scaling efficiency = tput(4N)/(4·tput(N)) | verdict |
@@ -393,8 +398,8 @@ own above-the-limit table ({cfg["inputs"]["sh"]["nodes"]:,} nodes /
 {cfg["inputs"]["sh"]["edges"]:,} generated edges), where every iteration
 pays a full edge-sized shuffle:
 
-| input | parallelism | iterations | median iter (s) | min iter (s) | edges/sec/iter |
-|---|---|---|---|---|---|
+| input | parallelism | iterations | median iter (s) | min iter (s) | edges/sec/iter | banked draws |
+|---|---|---|---|---|---|---|
 {_cell_rows("shuffle")}
 
 | N → 4N pair | tput N → 4N | scaling efficiency = tput(4N)/(4·tput(N)) | verdict |
