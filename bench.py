@@ -108,6 +108,9 @@ def main():
 
     edges.unpersist()
     extra["trials"] = trials
+    # cold first-trial total: directly comparable to the single-shot
+    # protocol of earlier rounds (r01/r02), where every query ran once cold
+    extra["cold_total"] = round(sum(w[0] for w in trials.values()), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
