@@ -47,6 +47,25 @@ def _guard_fresh_sink_dir(spark: SparkSession, out_path: str) -> None:
 def read_pages_stream(
     spark: SparkSession, path: str, max_files: int = 4
 ) -> DataFrame:
+    # fail fast on a wrong-shaped input: a streaming reader with an explicit
+    # schema silently null-fills columns the parquet files don't have, so
+    # pointing this at e.g. an already-EXTRACTED (id, url, text) table would
+    # "work" and yield zero edges. One footer-metadata-only batch read.
+    try:
+        have = set(spark.read.parquet(path).columns)
+    except Exception:
+        have = None  # empty/not-yet-created dir: legitimate for continuous mode
+    if have is not None:
+        from pyspark.sql.types import StructType
+
+        missing = {f.name for f in StructType.fromDDL(PAGES_SCHEMA).fields} - have
+        if missing:
+            raise ValueError(
+                f"pages stream source {path!r} is missing column(s) "
+                f"{sorted(missing)}: expected a RAW pages table "
+                "(url, warc_ts, html, text, lang) — e.g. datagen output, "
+                "not an extracted/derived table"
+            )
     return (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
