@@ -49,17 +49,22 @@ def main():
     trials: dict[str, list[float]] = {}
     extra: dict = {
         "repeats": REPEATS,
-        "protocol": "median of repeats; raw trials kept. Trial 1 of each query "
-        "is cold; later trials can reuse pinned intermediates (CacheManager "
-        "recognizes repeated identical plans), so the median reflects warm "
-        "steady-state re-query cost and trials[0] the cold first run",
+        "protocol": "median of COLD repeats: every trial runs inside "
+        "engine.operators._pins.pin_scope(), which unpersists the query's "
+        "pinned intermediates after each trial, so the CacheManager never "
+        "carries one trial's cache into the next and the median keeps "
+        "cold-execution semantics (JVM/code-cache warm-up still benefits "
+        "trials 2+; the shared input edge table stays persisted by design)",
     }
+
+    from engine.operators._pins import pin_scope
 
     def timed(name, fn):
         walls = []
         for _ in range(REPEATS):
             t0 = time.time()
-            fn()
+            with pin_scope():
+                fn()
             walls.append(round(time.time() - t0, 3))
         timings[name] = round(statistics.median(walls), 3)
         trials[name] = walls
@@ -106,11 +111,47 @@ def main():
         lambda: dedupe.minhash_lsh_dedupe_pairs(docs, "doc_id", "text", threshold=0.5).count(),
     )
 
+    # adversarial boilerplate corpus: 10^5 docs with a 10^4-identical block —
+    # every LSH band bucket of the block is hot, so without the cap the
+    # candidate self-join would emit ~5*10^7 pairs from the block alone
+    # (recall: bucket sizes are only dropped when STRICTLY ABOVE the cap).
+    # End-to-end: signatures -> capped banding -> exact-Jaccard verify ->
+    # CC clustering -> min-rep survivors; drop metrics surfaced in extra.
+    from engine import datagen
+
+    bp_docs = datagen.generate_boilerplate_docs(spark, 100_000, 10_000, seed=7).persist()
+    bp_docs.count()
+    bp_metrics: dict = {}
+
+    def _boilerplate():
+        m: dict = {}
+        pairs = dedupe.minhash_lsh_dedupe_pairs(
+            bp_docs, "doc_id", "text", threshold=0.8, max_bucket_size=1_000, metrics=m
+        )
+        m["survivors"] = dedupe.drop_near_duplicates(bp_docs, pairs).count()
+        bp_metrics.update(m)
+
+    timed("minhash_boilerplate", _boilerplate)
+    bp_docs.unpersist()
+    extra["minhash_boilerplate_metrics"] = bp_metrics
+
     edges.unpersist()
     extra["trials"] = trials
-    # cold first-trial total: directly comparable to the single-shot
-    # protocol of earlier rounds (r01/r02), where every query ran once cold
+    # first-trial total: directly comparable to the single-shot protocol of
+    # earlier rounds (r01/r02), where every query ran once cold. With the
+    # per-trial pin_scope all trials are cold, so the r03-vs-r04 comparable
+    # figure is ALSO the headline median total.
     extra["cold_total"] = round(sum(w[0] for w in trials.values()), 3)
+    # r1-r3 ran exactly these 9 queries; their sum is the cross-round
+    # comparable total (the headline total now also includes the new
+    # minhash_boilerplate adversarial entry)
+    legacy = [
+        "pagerank_1e6", "connected_components", "label_propagation",
+        "triangle_count", "bfs_levels", "gather_revenue", "topk_revenue",
+        "tfidf_postings", "minhash_lsh_pairs",
+    ]
+    extra["legacy_total"] = round(sum(timings[k] for k in legacy), 3)
+    extra["legacy_cold_total"] = round(sum(trials[k][0] for k in legacy), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

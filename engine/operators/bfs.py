@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+VISITED_RECHECKPOINT_EVERY = 50  # bound the visited-union plan depth
+
+
 def bfs_levels(
     edges: DataFrame,
     sources: DataFrame,
@@ -52,11 +55,19 @@ def bfs_levels(
         nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
-        # no re-checkpoint of the union: every level frame is already an
-        # eager checkpoint, so the union is a shallow tree of materialized
-        # leaves — re-checkpointing it would rewrite the ENTIRE visited set
-        # once per level (O(V·depth) block writes over the traversal)
+        # no re-checkpoint of the union PER LEVEL: every level frame is
+        # already an eager checkpoint, so the union is a shallow tree of
+        # materialized leaves — re-checkpointing it each level would rewrite
+        # the ENTIRE visited set once per level (O(V·depth) block writes
+        # over the traversal). But the union tree still grows one node per
+        # level, and each level's anti-join re-analyzes it (O(depth²)
+        # planning; very deep trees risk Catalyst stack overflow on
+        # high-diameter graphs — chains/grids run thousands of levels), so
+        # the union is compacted every VISITED_RECHECKPOINT_EVERY levels:
+        # amortized O(V·depth/K) extra writes, plan depth bounded by K.
         visited = visited.union(nxt)
+        if depth % VISITED_RECHECKPOINT_EVERY == 0:
+            visited = visited.localCheckpoint(eager=True)
         frontier = nxt.select("id")
     e.unpersist()  # visited is an eager checkpoint — safe to drop the edges pin
     return visited

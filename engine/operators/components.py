@@ -20,6 +20,7 @@ import time
 from pyspark.sql import DataFrame, functions as F
 
 from engine.operators._checkpoint import load_manifest, read_snapshot, snapshot_state
+from engine.operators._pins import pin as _pin
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -105,7 +106,10 @@ def connected_components(
             )
     if e is None:
         man = None
-        e = _canonical(edges).repartition(P, "b").persist()
+        # tracked pin (releasable): unpersisted in the round loop; when the
+        # loop never runs (resumed-converged manifests) pin_scope /
+        # release_all_pins frees it
+        e = _pin(_canonical(edges).repartition(P, "b"))
     n_edges = e.count()
 
     if nodes is None:
@@ -114,7 +118,7 @@ def connected_components(
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    nodes = nodes.select("id").persist()
+    nodes = _pin(nodes.select("id"))
 
     if n_edges == 0:
         return nodes.select("id", F.col("id").alias("label"))

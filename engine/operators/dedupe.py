@@ -12,21 +12,22 @@ so the whole path is JVM-side and shuffle-bound, not Python-bound.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
+from engine.operators._pins import pin as _pin  # noqa: F401  (re-exported)
+from engine.operators._pins import pin_scope, release_all_pins  # noqa: F401
 from engine.operators.tfidf import tokenize_col
 
-
-def _pin(df: DataFrame) -> DataFrame:
-    """Persist (memory-and-disk) a multi-consumer intermediate. Every LSH
-    pipeline below reads its shingle/signature/fingerprint table from 3-4
-    downstream subplans; without the pin Spark re-executes the whole
-    upstream once per branch (exchange reuse only dedupes the shuffle, not
-    the aggregation above it — measured ~2-4× on the full pipelines).
-    Disk-backed and partitioned, so pinning stays scale-safe; freed by the
-    ContextCleaner when the result plan is dropped."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+# _pin: persist (memory-and-disk) a multi-consumer intermediate. Every LSH
+# pipeline below reads its shingle/signature/fingerprint table from 3-4
+# downstream subplans; without the pin Spark re-executes the whole upstream
+# once per branch (exchange reuse only dedupes the shuffle, not the
+# aggregation above it — measured ~2-4× on the full pipelines). Disk-backed
+# and partitioned, so pinning stays scale-safe. The CacheManager holds the
+# blocks until an explicit unpersist (NOT freed automatically when the
+# result plan is dropped) — long-lived sessions should wrap the terminal
+# action in `engine.operators._pins.pin_scope()` or call
+# `release_all_pins()`; see _pins.py.
 
 
 # ---------------------------------------------------------------- exact / argmax

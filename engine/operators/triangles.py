@@ -64,13 +64,15 @@ def _adjacency(edges: DataFrame) -> DataFrame:
     from this one table, and without the pin Spark re-executes the entire
     upstream (distinct + degree attach + orientation + collect_list) once per
     branch — a measured ~2× on the whole kernel. O(n) rows / O(m) array
-    entries, disk-backed, freed by the ContextCleaner when the result plan
-    is dropped."""
-    from pyspark import StorageLevel
+    entries, disk-backed. The CacheManager holds the blocks until an
+    explicit unpersist — long-lived sessions wrap the terminal action in
+    `engine.operators._pins.pin_scope()` (or call `release_all_pins()`) to
+    free them."""
+    from engine.operators._pins import pin
 
     o = _oriented(edges)
     adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
-    return adj.persist(StorageLevel.MEMORY_AND_DISK)
+    return pin(adj)
 
 
 def _per_edge_intersections(adj: DataFrame) -> DataFrame:

@@ -33,11 +33,16 @@ def _guard_fresh_sink_dir(spark: SparkSession, out_path: str) -> None:
         return
     if fs.exists(jvm.org.apache.hadoop.fs.Path(out_path + "/_spark_metadata")):
         return
-    for st in fs.listStatus(path):
-        name = st.getPath().getName()
-        if name.endswith(".parquet") or name.endswith(".snappy.parquet"):
+    # RECURSIVE listing: a pre-existing PARTITIONED batch output nests its
+    # parquet under key=value subdirectories — a top-level-only check would
+    # pass it and those files would stay invisible to log-aware readers
+    # (exactly the silent-loss case this guard exists for)
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet") or name.endswith(".orc"):
             raise ValueError(
-                f"streaming sink target {out_path!r} already holds parquet files "
+                f"streaming sink target {out_path!r} already holds data files "
                 "with no _spark_metadata commit log: those files would be "
                 "invisible to log-aware readers. Use a fresh directory, or "
                 "migrate the existing files into the metadata log first."
