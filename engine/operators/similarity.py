@@ -47,10 +47,32 @@ def with_norm(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "emb
 
 # ------------------------------------------------------------- block grid
 
+# Catalyst-stats row estimate: a parquet embedding row is id (8 B) + a
+# float array (4 B/dim + offsets; float vectors barely compress). 128 B/row
+# sits in the middle of the 16-64-dim range and errs toward OVER-estimating
+# rows (→ more, smaller blocks): tiles never exceed their memory budget,
+# at the cost of some extra replication when vectors are wide.
+EMBEDDING_BYTES_PER_ROW = 128
+
+
+def _estimate_vectors(embeddings: DataFrame) -> int:
+    """Row estimate from optimizer statistics — runs NO job (a count() on a
+    derived 100 TB plan is a full execution just to pick a strategy).
+    Returns 0 when stats are unusable (unknown-size sentinel)."""
+    from engine.operators.pagerank import _estimate_rows
+
+    return _estimate_rows(embeddings, bytes_per_row=EMBEDDING_BYTES_PER_ROW)
+
+
 def _num_blocks(embeddings: DataFrame, num_blocks: int | None, rows_per_block: int) -> int:
     if num_blocks is not None:
         return max(1, num_blocks)
-    n = embeddings.count()  # one cheap scan; at scale pass num_blocks explicitly
+    n = _estimate_vectors(embeddings)
+    if n <= 0:
+        # unknown stats (join-derived plans): assume big enough to need a
+        # real grid rather than collapsing to one unbounded tile; callers
+        # at scale pass num_blocks (or materialize first) for a tight fit
+        n = 64 * rows_per_block
     return max(1, math.ceil(n / rows_per_block))
 
 
@@ -86,7 +108,8 @@ def _block_pairs(
     block); compute per task is one (n/B)² tile.
     """
     e = with_norm(embeddings, id_col, vec_col)
-    B = _num_blocks(e, num_blocks, rows_per_block)
+    # estimate on the RAW input (file-scan stats), not the norm projection
+    B = _num_blocks(embeddings, num_blocks, rows_per_block)
     grid = _grid(e.sparkSession, B, ordered)
     blk = F.pmod(F.xxhash64("id"), F.lit(B)).cast("int")
     a = e.select(
@@ -303,10 +326,16 @@ def embedding_near_duplicates(
                 10⁸-vector path. Recall < 1: a true pair is found iff it
                 collides in some table, p ≈ 1-(1-(1-θ/π)^b)^T — choose
                 b/tables for the target threshold (defaults suit ≥0.9).
-      'auto'  — exact below EXACT_SWEEP_LIMIT vectors, lsh above.
+      'auto'  — exact below EXACT_SWEEP_LIMIT vectors, lsh above; the size
+                comes from optimizer statistics (no job), and unknown stats
+                fall back to lsh — the scale-safe path.
     """
     if method == "auto":
-        method = "exact" if embeddings.count() <= EXACT_SWEEP_LIMIT else "lsh"
+        # Catalyst-stats estimate, NO job (triangles._oriented pattern);
+        # unknown stats → LSH, the scale-safe choice: an unknown-size input
+        # must be assumed too big for an O(n²) sweep
+        est = _estimate_vectors(embeddings)
+        method = "exact" if 0 < est <= EXACT_SWEEP_LIMIT else "lsh"
     if method == "exact":
         pairs = cosine_pairs(embeddings, id_col, vec_col, num_blocks, rows_per_block)
         return pairs.filter(F.col("cosine") >= threshold)

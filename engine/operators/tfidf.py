@@ -44,25 +44,53 @@ def doc_norms(postings: DataFrame) -> DataFrame:
     return postings.groupBy("url").agg(F.sqrt(F.sum(F.pow("w", 2))).alias("norm"))
 
 
+class _LazyScalar:
+    """Driver-side lazy scalar over a 1-row/1-col frame: collect()s on first
+    use, so callers that ignore it never pay the job."""
+
+    def __init__(self, df: DataFrame):
+        self._df, self._val, self._have = df, None, False
+
+    def value(self):
+        if not self._have:
+            self._val = self._df.collect()[0][0]
+            self._have = True
+        return self._val
+
+    def __int__(self):
+        return int(self.value())
+
+    def __eq__(self, other):
+        return self.value() == other
+
+    def __repr__(self):
+        return f"_LazyScalar({self._val if self._have else '<unevaluated>'})"
+
+
 def build_postings_with_idf(docs: DataFrame, id_col: str = "url", text_col: str = "text"):
-    """Returns (postings, idf DataFrame (term, idf), n_docs)."""
+    """Returns (postings, idf DataFrame (term, idf), n_docs lazy scalar).
+
+    IDF's N (non-empty doc count) is a lazy 1-row aggregate broadcast into
+    the idf projection — the `minmax_normalize` pattern — so the whole
+    postings build is ONE DAG with no driver round-trip; the returned
+    n_docs only runs its count job if the caller actually reads it."""
     toks = docs.select(
         F.col(id_col).alias("url"), tokenize_col(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") > 0)
-    n_docs = toks.count()
+    ndf = toks.agg(F.count(F.lit(1)).alias("_n"))
     tf = (
         toks.select("url", F.explode("toks").alias("term"))
         .groupBy("url", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.select(
-        "term", (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0).alias("idf")
+    idf = df_.crossJoin(F.broadcast(ndf)).select(
+        "term", (F.log((F.lit(1.0) + F.col("_n")) / (1.0 + F.col("df"))) + 1.0).alias("idf")
     )
     postings = tf.join(idf, "term").select(
         "url", "term", (F.col("tf") * F.col("idf")).alias("w")
     )
-    return postings, idf, n_docs
+    return postings, idf, _LazyScalar(ndf)
 
 
 def search(
