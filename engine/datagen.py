@@ -213,6 +213,40 @@ def generate_pages_df(spark, n_pages: int, seed: int = 42, partitions: int | Non
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def generate_boilerplate_docs(
+    spark,
+    n_docs: int,
+    n_boiler: int,
+    seed: int = 42,
+    partitions: int | None = None,
+):
+    """Adversarial dedup corpus: (doc_id, text) where doc_ids [0, n_boiler)
+    all carry ONE identical boilerplate text (the hot-bucket worst case —
+    every band/chunk of an LSH scheme collides for all of them, k² candidate
+    pairs uncapped) and the rest are distinct ~30-token documents.
+    Deterministic per (seed, doc_id); distributed via spark.range →
+    mapInPandas like generate_pages_df."""
+    import pandas as pd
+
+    boiler = " ".join(
+        _sentence(random.Random(seed * 7 + 1), 28, 32)
+    )  # one fixed ~30-token page shared verbatim by the block
+
+    def gen(batches):
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            texts = [
+                boiler
+                if i < n_boiler
+                else " ".join(_sentence(_rng(seed, i), 28, 32)) + f" uniq{i}"
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    rng = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema="doc_id long, text string")
+
+
 def write_pages(spark, path: str, n_pages: int, seed: int = 42, partitions: int | None = None):
     """Materialize the pages table as partitioned Parquet (Iceberg-style
     layout: partitioned by lang; plain Parquet — no Iceberg runtime here)."""

@@ -43,6 +43,17 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
     ap.add_argument("--top-k", type=int, default=100000)  # api/build_corpus.py:104
+    ap.add_argument(
+        "--near-dedupe", action="store_true",
+        help="MinHash-LSH near-dup pass over the extracted corpus text: "
+        "writes surviving docs to <out>/pages_dedup and records the "
+        "hot-bucket cap drop counts in summary.json (no silent caps)",
+    )
+    ap.add_argument("--dedupe-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--dedupe-max-bucket", type=int, default=None,
+        help="LSH hot-bucket cap (default: engine MAX_BUCKET_SIZE)",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -86,6 +97,40 @@ def main(argv=None):
     )
     t_extract = time.time()
 
+    dedupe_metrics: dict = {}
+    if args.near_dedupe:
+        # training-data near-dedupe over the extracted corpus (not the
+        # graph): MinHash -> capped LSH banding -> exact-Jaccard verify ->
+        # CC min-rep survivors. metrics={} threads the cap drop counts into
+        # the manifest — the library's no-silent-caps rule applied to the
+        # flagship pipeline itself.
+        from engine.operators import dedupe as dedupe_ops
+        from engine.operators._pins import pin_scope
+
+        corpus = extracted.join(nodes, "url").select("id", "url", "text")
+        cap = (
+            args.dedupe_max_bucket
+            if args.dedupe_max_bucket is not None
+            else dedupe_ops.MAX_BUCKET_SIZE
+        )
+        with pin_scope():
+            pairs = dedupe_ops.minhash_lsh_dedupe_pairs(
+                corpus, id_col="id", text_col="text",
+                threshold=args.dedupe_threshold,
+                max_bucket_size=cap, metrics=dedupe_metrics,
+            ).persist()
+            dedupe_metrics["near_dup_pairs"] = pairs.count()
+            survivors = dedupe_ops.drop_near_duplicates(corpus, pairs, id_col="id")
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(args.out, "pages_dedup")
+            )
+            pairs.unpersist()
+        dedupe_metrics["survivors"] = (
+            spark.read.parquet(os.path.join(args.out, "pages_dedup")).count()
+        )
+        dedupe_metrics["threshold"] = args.dedupe_threshold
+        dedupe_metrics["max_bucket_size"] = cap
+
     res = pagerank(
         edges,
         nodes=nodes.select("id"),
@@ -117,6 +162,8 @@ def main(argv=None):
         "rank_sec": round(t_rank - t_extract, 3),
         "iterate_wall_sec": round(sum(m["wall_sec"] for m in res.metrics), 3),
     }
+    if dedupe_metrics:
+        summary["dedupe_metrics"] = dedupe_metrics
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({**summary, "metrics": res.metrics}, f, indent=1)
     print(json.dumps(summary))
