@@ -304,6 +304,98 @@ best. Low-proc cells are the most spread-prone (a 4-proc draw landed
 tighten upward. Re-run: `python BENCH/membw_probe.py --save`.
 """
 
+    def _ab_md():
+        """Shuffle 2→8 partitions A/B from BENCH/ab_partitions.json (written
+        by interleave_ab.py); empty if never run."""
+        path = BENCH_DIR / "ab_partitions.json"
+        if not path.exists():
+            return ""
+        ab = json.loads(path.read_text())
+        summ = ab.get("summary", {})
+        if not summ:
+            return ""
+        rows = "\n".join(
+            f"| {k} | {v['tput']:,.0f} | {v['median_iter_sec']} | {v['draws']} |"
+            for k, v in sorted(summ["best"].items())
+        )
+        e64 = summ.get("eff_2to8_p64")
+        ept = summ.get("eff_2to8_p=threads")
+        if ept is None or e64 is None:
+            return ""
+        if max(e64, ept) >= 0.8:
+            winner = "p≈threads" if ept > e64 else "p=64"
+            concl = (
+                f"the pair reaches the 0.8 target under the {winner} arm — "
+                "the knob matters at this thread count and the banked "
+                "config keeps the better arm's evidence"
+            )
+        else:
+            concl = (
+                "both arms land below 0.8 — the partition count is NOT the "
+                "cause of the sub-0.8 pair; the falloff is host-bounded "
+                "(see the per-window correlation table below)"
+            )
+        return f"""
+### A/B — is the fixed 64-partition config depressing the 2→8 pair?
+
+`BENCH/interleave_ab.py` re-ran the shuffle worker at local[2] and
+local[8] in interleaved rounds under BOTH configs: the banked
+`partitions=64` and `partitions≈threads` (2 at local[2], 8 at local[8]).
+Best per arm:
+
+| cell/arm | edges/sec/iter (best) | median iter (s) | draws |
+|---|---|---|---|
+{rows}
+
+Implied 2→8 efficiency: **{e64:.3f} with p=64** vs **{ept:.3f} with
+p≈threads**: {concl}.
+"""
+
+    def _interleave_md():
+        """Per-window engine-vs-probe correlation from
+        BENCH/probe_interleave.json; empty if never run."""
+        path = BENCH_DIR / "probe_interleave.json"
+        if not path.exists():
+            return ""
+        il = json.loads(path.read_text())
+        if not il.get("rounds"):
+            return ""
+        rows = "\n".join(
+            f"| {i + 1} | {r['engine8']:,.0f} | {r['probe8']:,.0f} "
+            f"| {r['engine32']:,.0f} | {r['probe32']:,.0f} "
+            f"| {r['engine_eff']:.3f} | {r['probe_eff']:.3f} |"
+            for i, r in enumerate(il["rounds"])
+        )
+        ee = [r["engine_eff"] for r in il["rounds"]]
+        pe = [r["probe_eff"] for r in il["rounds"]]
+        n_ge = sum(1 for r in il["rounds"] if r["engine_eff"] >= r["probe_eff"])
+        concl = (
+            f"the engine matched or beat the no-software control in "
+            f"{n_ge}/{len(ee)} windows — the 8→32 falloff is bounded by the "
+            "box (socket bandwidth + steal), not by any engine mechanism"
+            if n_ge * 2 >= len(ee)
+            else f"the engine scaled worse than the control in "
+            f"{len(ee) - n_ge}/{len(ee)} windows — some engine-side 8→32 "
+            "overhead remains on top of the host ceiling"
+        )
+        return f"""
+### Per-window correlation — engine draws paired with same-window probe draws
+
+Each row is one interleaved round of `BENCH/interleave_ab.py`: a shuffle
+engine draw at local[8] immediately followed by an engine-free membw
+probe draw at 8 procs, then the same at 32 — so engine and probe sample
+the SAME host window, making the steal attribution per-window rather than
+per-day:
+
+| round | engine@8 (e/s/iter) | probe@8 (e/s) | engine@32 | probe@32 | engine 8→32 eff | probe 8→32 eff |
+|---|---|---|---|---|---|---|
+{rows}
+
+Probe efficiency (pure independent native processes, nothing shared but
+the hardware) ranges {min(pe):.3f}-{max(pe):.3f} across windows while the
+engine's ranges {min(ee):.3f}-{max(ee):.3f} on the same windows: {concl}.
+"""
+
     sh_head_eff = sh_headline["efficiency"] if sh_headline else 0.0
     md = f"""# BENCH — N vs 4N parallelism scaling (north metric evidence)
 
@@ -433,7 +525,7 @@ aggregation remains implemented and tested (`pagerank(salt_buckets=S)`,
 equivalence-gated by tests/test_pagerank.py) for gathers whose aggregate
 is NOT map-side combinable (e.g. collect-style neighborhoods) and for
 join-side skew, where salting is the correct tool.
-
+{_ab_md()}{_interleave_md()}
 ## Graph-kernel validation at 1M nodes / 10M edges (local[32])
 
 Same deterministic Zipf generator, one-off wall-clock validation of the

@@ -68,11 +68,14 @@ def main(argv=None):
         lp.write.mode("overwrite").parquet(os.path.join(args.out, "lp"))
         meta["lp_sec"] = round(time.time() - t0, 3)
     if "tri" in wanted:
+        from engine.operators._pins import pin_scope
+
         t0 = time.time()
-        tri = triangle_count(edges)
-        tri.write.mode("overwrite").parquet(os.path.join(args.out, "tri"))
+        with pin_scope():  # frees the pinned adjacency after the writes
+            tri = triangle_count(edges)
+            tri.write.mode("overwrite").parquet(os.path.join(args.out, "tri"))
+            meta["triangles"] = tri.collect()[0][0]
         meta["tri_sec"] = round(time.time() - t0, 3)
-        meta["triangles"] = tri.collect()[0][0]
 
     with open(os.path.join(args.out, "kernels.json"), "w") as f:
         json.dump(meta, f, indent=1)

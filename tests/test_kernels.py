@@ -255,3 +255,19 @@ def test_cc_resume_refuses_different_edge_set(spark, tmp_path):
         ).collect()
     }
     assert got == connected_components_py(g2)
+
+
+def test_bfs_deep_chain_visited_compaction(spark):
+    """ADVICE r3 #3: the visited union is compacted every K levels so a
+    high-diameter traversal keeps a bounded plan. 130-node chain = 129
+    levels, crossing the K=50 compaction twice; distances stay exact."""
+    from engine.operators import bfs
+
+    n = 130
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    out = bfs.bfs_levels(edges, src, max_depth=n)
+    got = {r.id: r.dist for r in out.collect()}
+    assert got == {i: i for i in range(n)}

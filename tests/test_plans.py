@@ -233,3 +233,23 @@ def test_postings_build_is_one_dag_no_count_job(spark):
     rows = postings.count()
     assert rows > 0
     assert int(n) > 0  # lazy scalar evaluates on demand
+
+
+def test_pin_scope_releases_cache(spark):
+    """ADVICE r3 #1: pinned intermediates must be releasable — after a
+    pin_scope exits, the CacheManager holds nothing from the query (the
+    ContextCleaner does NOT free persists on its own)."""
+    from engine.operators import dedupe
+    from engine.operators._pins import pin_scope, release_all_pins
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(60)],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+    with pin_scope():
+        n = dedupe.minhash_lsh_dedupe_pairs(docs, threshold=0.3).count()
+        assert n >= 0
+        assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) > 0
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+    assert release_all_pins() == 0  # scope already freed everything

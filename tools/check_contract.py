@@ -50,9 +50,16 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf)
-            scols = sdf.columns
-            srows = sdf.collect()
+            # pin_scope: LSH/triangle queries pin multi-consumer
+            # intermediates; without the scope 59 queries in one session
+            # accumulate MEMORY_AND_DISK cache (the CacheManager holds pins
+            # until an explicit unpersist)
+            from engine.operators._pins import pin_scope
+
+            with pin_scope():
+                sdf = fn(spark, sf)
+                scols = sdf.columns
+                srows = sdf.collect()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
