@@ -135,12 +135,11 @@ def main(argv=None):
         best: dict = {}
         for d in ab["draws"]:
             key = f"local[{d['cpus']}]/p{d['partitions']}"
-            if d["edges_per_sec_per_iter"] > best.get(key, {}).get("tput", 0):
-                best[key] = {
-                    "tput": d["edges_per_sec_per_iter"],
-                    "median_iter_sec": d["median_iter_sec"],
-                }
-            best[key]["draws"] = best[key].get("draws", 0) + 1
+            cell = best.setdefault(key, {"tput": 0, "median_iter_sec": None, "draws": 0})
+            if d["edges_per_sec_per_iter"] > cell["tput"]:
+                cell["tput"] = d["edges_per_sec_per_iter"]
+                cell["median_iter_sec"] = d["median_iter_sec"]
+            cell["draws"] += 1
         summ = {"best": best}
         for arm, k2, k8 in (("p64", "local[2]/p64", "local[8]/p64"),
                             ("p=threads", "local[2]/p2", "local[8]/p8")):
