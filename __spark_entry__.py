@@ -405,6 +405,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("knn_rank").cast("long").alias("knn_rank"),
         )
 
+    def sim4_ivf_ann_topk(spark, sf):
+        # IVF cells (data-adaptive centroids) next to sim3's LSH buckets —
+        # the second ANN scale path; centroid training is float-iterative
+        # (Lloyd rounds), so rows-only like the other kernels here. The
+        # plumbing-exactness gate (nprobe=k ≡ cosine_topk) is in pytest.
+        from engine.operators import ivf
+
+        e = _t(spark, sf, "embeddings")
+        return ivf.ivf_ann_topk(e, k=3, k_centroids=16, nprobe=6).select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+        )
+
     def x5_fingerprint_rolling(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select(
@@ -621,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
         "d4_simhash_fingerprints": d4_simhash_fingerprints,
         "sim3_lsh_ann_topk": sim3_lsh_ann_topk,
+        "sim4_ivf_ann_topk": sim4_ivf_ann_topk,
         "x5_fingerprint_rolling": x5_fingerprint_rolling,
     }
 
