@@ -351,6 +351,36 @@ Implied 2→8 efficiency: **{e64:.3f} with p=64** vs **{ept:.3f} with
 p≈threads**: {concl}.
 """
 
+    def _ann_md():
+        """ANN-path scale validation from BENCH/ann.json (written by
+        `ann_bench.py --save`); empty if never run."""
+        path = BENCH_DIR / "ann.json"
+        if not path.exists():
+            return ""
+        a = json.loads(path.read_text())
+        iv, ls = a["ivf"], a["lsh"]
+        return f"""
+## ANN-path validation at {a['n']:,} vectors × {a['dim']} dims (local[{a['cpus']}])
+
+Both approximate-neighbor paths on the deterministic clustered embedding
+generator (`datagen.generate_embeddings_df`, {a['clusters']} hash-planted
+clusters — realistic geometry including hot cells/buckets), top-{a['k']}
+per query, best of {len(a['trials'])} trials:
+
+| path | build | query | output rows | hot-bucket metrics |
+|---|---|---|---|---|
+| IVF (k={iv['k_centroids']}, nprobe={iv['nprobe']}) | {iv['train_sec']} s train | {iv['query_sec']} s | {iv['rows']:,} | {iv['metrics'].get('ivf_cell_buckets_dropped', 0)} of {iv['metrics'].get('ivf_cell_buckets_total', 0)} cells capped |
+| hyperplane LSH (b={ls['planes_per_table']}, T={ls['tables']}) | — (data-independent) | {ls['query_sec']} s | {ls['rows']:,} | {ls['metrics'].get('hyperplane_buckets_dropped', 0)} of {ls['metrics'].get('hyperplane_buckets_total', 0)} buckets capped |
+
+Cross-method agreement (share of (query, neighbor) pairs found by BOTH
+unrelated geometric schemes): **{a['agreement']:.1%}** — structural
+corroboration at a scale where exact ground truth is off the table
+(recall proper is gated in pytest at small n, where exact top-k is
+feasible, plus IVF's nprobe=k ≡ exact equivalence, which is
+scale-independent by construction). Re-run:
+`python BENCH/ann_bench.py --save`.
+"""
+
     def _interleave_md():
         """Per-window engine-vs-probe correlation from
         BENCH/probe_interleave.json; empty if never run."""
@@ -525,7 +555,7 @@ aggregation remains implemented and tested (`pagerank(salt_buckets=S)`,
 equivalence-gated by tests/test_pagerank.py) for gathers whose aggregate
 is NOT map-side combinable (e.g. collect-style neighborhoods) and for
 join-side skew, where salting is the correct tool.
-{_ab_md()}{_interleave_md()}
+{_ab_md()}{_interleave_md()}{_ann_md()}
 ## Graph-kernel validation at 1M nodes / 10M edges (local[32])
 
 Same deterministic Zipf generator, one-off wall-clock validation of the

@@ -29,6 +29,8 @@ from __future__ import annotations
 import random
 from datetime import datetime, timedelta, timezone
 
+from pyspark.sql import functions as F
+
 from engine.functions.urls import normalize_url
 
 BASE_DOMAIN = "example.org"
@@ -253,3 +255,35 @@ def write_pages(spark, path: str, n_pages: int, seed: int = 42, partitions: int 
     df = generate_pages_df(spark, n_pages, seed, partitions)
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def generate_embeddings_df(
+    spark,
+    n_vectors: int,
+    dim: int = 64,
+    n_clusters: int = 200,
+    noise: float = 0.35,
+    seed: int = 42,
+    partitions: int | None = None,
+):
+    """Deterministic synthetic embeddings (vec_id, embedding array<float>)
+    for ANN benchmarks: each vector is a hash-assigned cluster center plus
+    hash-uniform noise, all generated executor-side from pure xxhash64
+    column expressions (spark.range → transform(sequence) — no driver
+    materialization, no RNG state, scales to any n). Clustered geometry
+    matters: uniform vectors are the degenerate ANN case where neither IVF
+    cells nor LSH buckets separate anything; planted clusters exercise the
+    realistic path INCLUDING hot cells/buckets (cluster sizes are
+    hash-multinomial, not balanced)."""
+
+    def u(*cols):  # hash-uniform in [-1, 1)
+        h = F.xxhash64(*[F.lit(c) if isinstance(c, (int, str)) else c for c in cols])
+        return (F.pmod(h, F.lit(2_000_001)).cast("double") / F.lit(1_000_000.0)) - F.lit(1.0)
+
+    rng = spark.range(0, n_vectors, 1, partitions or spark.sparkContext.defaultParallelism)
+    cid = F.pmod(F.xxhash64(F.lit(seed), F.col("id")), F.lit(n_clusters))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda pos: (u(seed * 3 + 1, cid, pos) + F.lit(noise) * u(seed * 3 + 2, F.col("id"), pos)).cast("float"),
+    )
+    return rng.select(F.col("id").alias("vec_id"), vec.alias("embedding"))

@@ -460,3 +460,34 @@ def test_ivf_assignment_plan_arrow_batched(spark):
     plan = pi.physical_plan(ivf.ivf_ann_topk(emb, k=2, nprobe=2, centroids=c))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_generate_embeddings_deterministic_and_clustered(spark):
+    from engine import datagen
+
+    a = {r.vec_id: list(r.embedding) for r in
+         datagen.generate_embeddings_df(spark, 60, dim=8, n_clusters=4, seed=3).collect()}
+    b = {r.vec_id: list(r.embedding) for r in
+         datagen.generate_embeddings_df(spark, 60, dim=8, n_clusters=4, seed=3).collect()}
+    assert a == b  # pure xxhash64 expressions: no RNG state anywhere
+    assert set(a) == set(range(60)) and all(len(v) == 8 for v in a.values())
+    c = {r.vec_id: list(r.embedding) for r in
+         datagen.generate_embeddings_df(spark, 60, dim=8, n_clusters=4, seed=4).collect()}
+    assert a != c
+    # planted clusters: same-cluster vectors must be closer (cosine) than
+    # cross-cluster on average — the property that makes ANN benchmarks real
+    import numpy as np
+
+    import pyspark.sql.functions as F
+    cid = {r.vec_id: r.cid for r in
+           datagen.generate_embeddings_df(spark, 60, dim=8, n_clusters=4, seed=3)
+           .select("vec_id", F.pmod(F.xxhash64(F.lit(3), F.col("vec_id")), F.lit(4)).alias("cid"))
+           .collect()}
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in a.items()}
+    same, cross = [], []
+    ids = sorted(vecs)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                (same if cid[i] == cid[j] else cross).append(float(vecs[i] @ vecs[j]))
+    assert np.mean(same) > np.mean(cross) + 0.2
