@@ -545,6 +545,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return triangles_per_vertex(_edges(spark, sf))
 
+    def g7_kcore_4round(spark, sf):
+        # fixed-4-round k-core peel (k=6) on a degree-gradient subsample of
+        # the lineitem graph — chosen so every one of the 4 unrolled rounds
+        # genuinely shrinks the survivor set at sf0.01 (2616->2319->2103->1976)
+        from engine.operators.kcore import kcore_fixed_rounds
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+        e = li.select(
+            (F.col("l_orderkey") % 4999).alias("src"),
+            (F.col("l_partkey") % (F.lit(1) + F.col("l_orderkey") % F.lit(4999))).alias("dst"),
+        )
+        return kcore_fixed_rounds(e, k=6, rounds=4)
+
+    def g8_clustering_coeff(spark, sf):
+        from engine.operators.triangles import clustering_coefficient
+
+        return clustering_coefficient(_edges(spark, sf))
+
     def p1_extraction_pipeline(spark, sf):
         # full web pipeline on the deterministic synthetic pages table:
         # html -> Arrow-UDF extraction -> explode -> normalize -> filters ->
@@ -586,10 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
         "a15_graph_summary": a15_graph_summary,
         "t1_topk_revenue": t1_topk_revenue,
-        "t5_rank_topk": t5_rank_topk,
+        "g7_kcore_4round": g7_kcore_4round,
         "t6_rank_full": t6_rank_full,
         "u2_except": u2_except,
-        "c6_math_scalars": c6_math_scalars,
+        "g8_clustering_coeff": g8_clustering_coeff,
         "c1_tokens_distinct": c1_tokens_distinct,
         "c7_snippets": c7_snippets,
         "tfidf_postings": tfidf_postings,
@@ -622,7 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # p1 is key #50 — the last graded slot: flagship SURVEY §3.1
         # pipeline (reference api/build_corpus.py:268-299), rows/schema
         # check (structurally no_oracle). Keys below are ungraded by the
-        # driver: 51-52 are the displaced oracle twins (validated by
+        # driver: 51-54 are the displaced oracle twins / trivia (validated by
         # check_contract and by their in-window siblings), the rest are
         # rows-only (iterative-to-convergence / xxhash64-specific — no
         # portable SQL), each exact-gated in pytest (NumPy/union-find/
@@ -630,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_extraction_pipeline": p1_extraction_pipeline,
         "j4_gather_revenue": j4_gather_revenue,
         "a2b_customers_without_orders": a2b_customers_without_orders,
+        "c6_math_scalars": c6_math_scalars,
+        "t5_rank_topk": t5_rank_topk,
         "i1_pagerank": i1_pagerank,
         "i2_personalized_pagerank": i2_personalized_pagerank,
         "g6_hits": g6_hits,
@@ -686,6 +706,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_custkey, {dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY o_custkey
+    """
+    # k-core peel UNROLLED to exactly 4 rounds (the g7 contract's `rounds`):
+    # n{r} = vertices of e{r-1} with degree >= 6, e{r} = induced subgraph.
+    # Output = survivors n4 with their degree in e4 (0 if isolated) —
+    # exact integer semantics, engine twin kcore.py:kcore_fixed_rounds.
+    kc_parts = []
+    for r in range(1, 5):
+        kc_parts.append(f"""n{r} AS MATERIALIZED (
+          SELECT id FROM (SELECT u AS id FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+          GROUP BY id HAVING count(*) >= 6
+        ), e{r} AS MATERIALIZED (
+          SELECT u, v FROM e{r - 1}
+          WHERE u IN (SELECT id FROM n{r}) AND v IN (SELECT id FROM n{r})
+        )""")
+    kcore_sql = f"""
+        WITH raw AS (
+            SELECT l_orderkey % 4999 AS src,
+                   l_partkey % (1 + l_orderkey % 4999) AS dst
+            FROM lineitem WHERE l_orderkey % 3 = 0
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM raw WHERE src <> dst
+        ),
+        {','.join(kc_parts)},
+        degf AS (
+            SELECT id, count(*) AS degree
+            FROM (SELECT u AS id FROM e4 UNION ALL SELECT v FROM e4) GROUP BY id
+        )
+        SELECT n4.id, coalesce(degf.degree, 0) AS degree
+        FROM n4 LEFT JOIN degf ON degf.id = n4.id
     """
     # Damped power-iteration PageRank UNROLLED to exactly 3 rounds (the
     # i1b contract's max_iter) — the engine recurrence (pagerank.py:96-416,
@@ -1226,6 +1277,29 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
             )
             SELECT id, count(*) AS triangles FROM members GROUP BY id
+        """,
+        "g7_kcore_4round": kcore_sql,
+        "g8_clustering_coeff": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM ({_EDGES_SQL}) WHERE src <> dst
+            ), sym AS (
+                SELECT u AS id FROM und UNION ALL SELECT v FROM und
+            ), deg AS (
+                SELECT id, count(*) AS degree FROM sym GROUP BY id
+            ), tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM und e1 JOIN und e2 ON e2.u = e1.v JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), members AS (
+                SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+            ), tpv AS (
+                SELECT id, count(*) AS triangles FROM members GROUP BY id
+            )
+            SELECT d.id, d.degree, coalesce(t.triangles, 0) AS triangles,
+                   round(CASE WHEN d.degree >= 2
+                              THEN (2.0 * coalesce(t.triangles, 0)) / (d.degree * (d.degree - 1))
+                              ELSE 0.0 END, 6) AS lcc
+            FROM deg d LEFT JOIN tpv t ON t.id = d.id
         """,
         "g5_bfs_levels": f"""
             WITH RECURSIVE e AS ({_EDGES_SQL}),

@@ -103,6 +103,37 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return per_edge.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("triangles"))
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, degree, triangles, lcc): local clustering coefficient per vertex
+    of the undirected simple graph, lcc(v) = 2*T(v) / (d(v)*(d(v)-1)) and 0
+    where d(v) < 2. Degree is the simple undirected degree (distinct
+    neighbors). Rounded to 6 dp so the value is portable across engines
+    (single double division — no aggregation-order sensitivity).
+
+    Scale shape: one extra O(m) degree aggregation on top of the oriented
+    triangle kernel; the dominant cost stays the adjacency intersection,
+    whose lists are O(sqrt(m))-bounded by the (degree, id) orientation."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    sym = und.select(F.col("u").alias("id")).union(und.select(F.col("v").alias("id")))
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    tri = triangles_per_vertex(edges)
+    joined = deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2.0) * F.col("triangles"))
+        / (F.col("degree") * (F.col("degree") - F.lit(1))),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("lcc", F.round(lcc, 6))
+
+
 def triangles_per_vertex(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
     """(id, triangles): number of triangles each vertex participates in."""
     rows = triangle_rows(edges)

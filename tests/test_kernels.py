@@ -86,6 +86,131 @@ def test_triangles_known(spark):
     assert pv == {0: 1, 1: 2, 2: 2, 3: 1}
 
 
+def test_clustering_coefficient_known(spark):
+    from engine.operators.triangles import clustering_coefficient
+
+    # two triangles sharing edge (1,2); node 4 pendant off node 0
+    edges = [(0, 1), (1, 2), (2, 0), (1, 3), (3, 2), (0, 4)]
+    rows = {r.id: r for r in clustering_coefficient(_edges_df(spark, edges)).collect()}
+    # degrees: 0->3 (1,2,4), 1->3 (0,2,3), 2->3, 3->2, 4->1
+    assert {i: rows[i].degree for i in rows} == {0: 3, 1: 3, 2: 3, 3: 2, 4: 1}
+    assert {i: rows[i].triangles for i in rows} == {0: 1, 1: 2, 2: 2, 3: 1, 4: 0}
+    assert rows[0].lcc == round(2 * 1 / (3 * 2), 6)
+    assert rows[1].lcc == round(2 * 2 / (3 * 2), 6)
+    assert rows[3].lcc == 1.0  # d=2, 1 triangle
+    assert rows[4].lcc == 0.0  # degree < 2
+
+
+def test_clustering_coefficient_random_vs_oracle(spark):
+    from engine.operators.triangles import clustering_coefficient
+
+    edges = _sparse_graph(n=120, m=420, seed=7)
+    got = {r.id: (r.degree, r.triangles, r.lcc) for r in
+           clustering_coefficient(_edges_df(spark, edges)).collect()}
+    # pure-Python oracle
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for v, nb in nbrs.items():
+        d = len(nb)
+        t = sum(1 for a in nb for b in nb if a < b and (a, b) in und)
+        lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[v] == (d, t, lcc), v
+    assert set(got) == set(nbrs)
+
+
+def _kcore_py(edges, k):
+    """Peeling oracle: {id: degree_in_kcore} of the k-core subgraph."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    while True:
+        doomed = [v for v, nb in nbrs.items() if len(nb) < k]
+        if not doomed:
+            break
+        for v in doomed:
+            for w in nbrs[v]:
+                nbrs[w].discard(v)
+            del nbrs[v]
+    return {v: len(nb) for v, nb in nbrs.items()}
+
+
+def _core_numbers_py(edges):
+    """{id: core number} by exact peeling for increasing k."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    core = {v: 0 for v in nbrs}
+    k = 1
+    live = {v: set(nb) for v, nb in nbrs.items()}
+    while live:
+        while True:
+            doomed = [v for v, nb in live.items() if len(nb) < k]
+            if not doomed:
+                break
+            for v in doomed:
+                for w in live[v]:
+                    live[w].discard(v)
+                del live[v]
+        for v in live:
+            core[v] = k
+        k += 1
+    return core
+
+
+def test_kcore_path_cascade(spark):
+    from engine.operators.kcore import kcore
+
+    edges = [(i, i + 1) for i in range(9)]
+    met = {}
+    assert kcore(_edges_df(spark, edges), 2, metrics=met).count() == 0
+    # the peel must cascade from the path's ends: 8,6,4,2,0 survivors
+    assert [r["nodes"] for r in met["kcore_rounds"]][:5] == [8, 6, 4, 2, 0]
+
+
+def test_kcore_random_vs_oracle(spark):
+    from engine.operators.kcore import kcore
+
+    edges = _sparse_graph(n=200, m=320, seed=3)
+    for k in (2, 3):
+        got = {r.id: r.degree for r in kcore(_edges_df(spark, edges), k).collect()}
+        assert got == _kcore_py(edges, k), k
+
+
+def test_kcore_fixed_rounds_prefix_semantics(spark):
+    from engine.operators.kcore import kcore, kcore_fixed_rounds
+
+    # triangle + tail 2-3-4-5: k=2 peels the tail one node per round
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)]
+    df = _edges_df(spark, edges)
+    r1 = {r.id: r.degree for r in kcore_fixed_rounds(df, 2, 1).collect()}
+    assert set(r1) == {0, 1, 2, 3, 4}  # leaf 5 peeled; 4 now degree 1
+    assert r1[4] == 1
+    r2 = {r.id: r.degree for r in kcore_fixed_rounds(df, 2, 2).collect()}
+    assert set(r2) == {0, 1, 2, 3}
+    # enough rounds == fixpoint
+    r9 = {r.id: r.degree for r in kcore_fixed_rounds(df, 2, 9).collect()}
+    assert r9 == {r.id: r.degree for r in kcore(df, 2).collect()} == _kcore_py(edges, 2)
+
+
+def test_core_numbers_vs_oracle(spark):
+    from engine.operators.kcore import core_numbers
+
+    # known: K4 clique (core 3) + tail (core 1)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    got = {r.id: r.core for r in core_numbers(_edges_df(spark, edges)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+    edges = _sparse_graph(n=180, m=400, seed=13)
+    got = {r.id: r.core for r in core_numbers(_edges_df(spark, edges)).collect()}
+    assert got == _core_numbers_py(edges)
+
+
 def test_triangles_duplicates_and_direction_collapse(spark):
     edges = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2)]
     got = triangle_count(_edges_df(spark, edges)).collect()[0].triangles
