@@ -9,6 +9,12 @@ metadata:
   cc/   (id, component)   large-star/small-star connected components
   lp/   (id, label)       synchronous label propagation (min tie-break)
   tri/  (triangles)       sorted-adjacency triangle count
+  kcore/ (id, degree)     k-core peel survivors (--kcore-k, default 3)
+  coreness/ (id, core)    exact core numbers (h-index iteration)
+
+--edges-table reads a bucketed catalog table (engine/sources/bucketed.py,
+written by jobs/bucketize_job.py) instead of --edges: the src-clustering
+is then satisfied by the scan and no kernel re-shuffles the raw edges.
 """
 
 from __future__ import annotations
@@ -25,12 +31,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--edges", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--edges")
+    g.add_argument("--edges-table", help="bucketed catalog table (see jobs/bucketize_job.py)")
     ap.add_argument("--format", choices=("parquet", "text"), default="parquet")
     ap.add_argument("--out", required=True)
     ap.add_argument("--kernels", default="cc,lp,tri")
+    ap.add_argument("--kcore-k", type=int, default=3)
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--checkpoint-dir", default=None, help="resume CC/LP from snapshots under DIR/cc, DIR/lp")
+    ap.add_argument("--warehouse", default=None, help="with --edges-table: spark.sql.warehouse.dir")
+    ap.add_argument("--metastore-dir", default=None, help="with --edges-table: persistent metastore written by bucketize_job")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -41,10 +52,19 @@ def main(argv=None):
     from engine.session import build_session
     from engine.sources.edges import read_edge_text
 
+    from engine.sources.bucketed import catalog_conf
+
     spark = build_session(
-        app_name="graph-kernels", master=args.master, shuffle_partitions=args.partitions
+        app_name="graph-kernels",
+        master=args.master,
+        shuffle_partitions=args.partitions,
+        extra_conf=catalog_conf(args.warehouse, args.metastore_dir),
     )
-    if args.format == "text":
+    if args.edges_table:
+        from engine.sources.bucketed import read_bucketed_edges
+
+        edges = read_bucketed_edges(spark, args.edges_table).select("src", "dst")
+    elif args.format == "text":
         edges = read_edge_text(spark, args.edges)
     else:
         edges = spark.read.parquet(args.edges).select("src", "dst")
@@ -76,6 +96,30 @@ def main(argv=None):
             tri.write.mode("overwrite").parquet(os.path.join(args.out, "tri"))
             meta["triangles"] = tri.collect()[0][0]
         meta["tri_sec"] = round(time.time() - t0, 3)
+
+    if "kcore" in wanted:
+        from engine.operators._pins import pin_scope
+        from engine.operators.kcore import kcore
+
+        t0 = time.time()
+        kc_metrics: dict = {}
+        with pin_scope():
+            kc = kcore(edges, args.kcore_k, metrics=kc_metrics)
+            kc.write.mode("overwrite").parquet(os.path.join(args.out, "kcore"))
+        meta["kcore_k"] = args.kcore_k
+        meta["kcore_rounds"] = len(kc_metrics.get("kcore_rounds", []))
+        meta["kcore_sec"] = round(time.time() - t0, 3)
+    if "coreness" in wanted:
+        from engine.operators._pins import pin_scope
+        from engine.operators.kcore import core_numbers
+
+        t0 = time.time()
+        cn_metrics: dict = {}
+        with pin_scope():
+            cn = core_numbers(edges, max_iter=args.max_iter, metrics=cn_metrics)
+            cn.write.mode("overwrite").parquet(os.path.join(args.out, "coreness"))
+        meta["coreness_rounds"] = len(cn_metrics.get("coreness_rounds", []))
+        meta["coreness_sec"] = round(time.time() - t0, 3)
 
     with open(os.path.join(args.out, "kernels.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -254,3 +254,54 @@ def test_pin_scope_releases_cache(spark):
         assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) > 0
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
     assert release_all_pins() == 0  # scope already freed this query's pins
+
+
+def test_bucketed_edge_store_groupby_no_exchange(spark, tmp_path):
+    """Bucketed edge store (engine/sources/bucketed.py): a src-keyed
+    aggregate over the bucketed table must run with ZERO shuffle Exchanges —
+    the scan's HashPartitioning(src) satisfies the aggregate's distribution,
+    so the ingest-time shuffle is the only one ever paid."""
+    from engine.sources.bucketed import read_bucketed_edges, write_bucketed_edges
+
+    edges = spark.createDataFrame(
+        [(i % 53, (i * 11) % 53) for i in range(400)], "src long, dst long"
+    )
+    write_bucketed_edges(edges, "t_bucket_deg", buckets=8, path=str(tmp_path / "b1"))
+    try:
+        t = read_bucketed_edges(spark, "t_bucket_deg")
+        deg = t.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        assert pi.count_exchanges(deg, live_only=False) == 0
+        got = {r.src: r.deg for r in deg.collect()}
+        exp = {r.src: r.deg for r in
+               edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).collect()}
+        assert got == exp
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_deg")
+
+
+def test_bucketed_gather_join_shuffles_only_small_side(spark, tmp_path):
+    """src-keyed join against the bucketed edge table: exactly ONE shuffle
+    Exchange, and it is on the O(n) rank side — the O(m) edge table is never
+    re-shuffled (the cross-job analogue of the in-kernel adj persist)."""
+    from engine.sources.bucketed import read_bucketed_edges, write_bucketed_edges
+
+    edges = spark.createDataFrame(
+        [(i % 53, (i * 11) % 53) for i in range(400)], "src long, dst long"
+    )
+    write_bucketed_edges(edges, "t_bucket_join", buckets=8, path=str(tmp_path / "b2"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle join so the exchange placement is observable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = read_bucketed_edges(spark, "t_bucket_join")
+        ranks = spark.range(53).select(F.col("id").alias("src"),
+                                       (F.lit(1.0) / 53).alias("rank"))
+        joined = t.join(ranks, "src").select("src", "dst", "rank")
+        plan = pi.physical_plan(joined)
+        assert pi.count_exchanges(joined, live_only=False) == 1
+        # the one exchange must hash-partition the rank-side Range output
+        assert "Exchange hashpartitioning(src" in plan
+        assert joined.count() == 400
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_join")

@@ -115,3 +115,67 @@ def test_pipeline_job_near_dedupe_manifest(tmp_path):
     assert dm["max_bucket_size"] == 50
     assert 0 < dm["survivors"] <= summary["pages"]
     assert (out / "pages_dedup").exists()
+
+
+def test_bucketize_then_kernels_table_roundtrip(tmp_path):
+    """Bucketize job writes the src-bucketed table; kernels_job reads it via
+    --edges-table and runs the k-core/coreness kernels end-to-end — the
+    ingest-once-shuffle-never-again workflow at job granularity."""
+    import pyarrow.parquet as pq
+
+    edges_dir = tmp_path / "edges"
+    wh = tmp_path / "wh"
+    out = tmp_path / "kern"
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    # small deterministic edge parquet from the reference 1k graph
+    import pandas as pd
+
+    rows = []
+    for ln in Path(REF_1K).read_text().splitlines():
+        a, b = ln.split()[:2]
+        rows.append((int(a), int(b)))
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows, columns=["src", "dst"])),
+        tmp_path / "e.parquet",
+    )
+    edges_dir.mkdir()
+    os.rename(tmp_path / "e.parquet", edges_dir / "part-0.parquet")
+
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "jobs" / "bucketize_job.py"),
+            "--edges", str(edges_dir), "--table", "t_e2e_bucketed",
+            "--buckets", "8", "--path", str(tmp_path / "tbl"),
+            "--warehouse", str(wh), "--metastore-dir", str(tmp_path / "ms"),
+            "--master", "local[8]", "--partitions", "8",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    meta = json.loads(line)
+    assert meta["edges"] == len(rows)
+    # bucketed layout on disk: parquet file names carry the bucket id suffix
+    files = list((tmp_path / "tbl").glob("*.parquet"))
+    assert files, "no bucketed files written"
+
+    # a DIFFERENT process resolves the table through the shared persistent
+    # metastore — the cross-job contract of the ingest-once story
+    proc2 = subprocess.run(
+        [
+            sys.executable, str(REPO / "jobs" / "kernels_job.py"),
+            "--edges-table", "t_e2e_bucketed", "--out", str(out),
+            "--kernels", "kcore,coreness", "--kcore-k", "3",
+            "--warehouse", str(wh), "--metastore-dir", str(tmp_path / "ms"),
+            "--master", "local[8]", "--partitions", "8",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=str(tmp_path),
+    )
+    assert proc2.returncode == 0, proc2.stderr[-4000:]
+    kc = pq.read_table(out / "kcore").to_pandas()
+    cn = pq.read_table(out / "coreness").to_pandas()
+    assert len(cn) > 0 and cn["core"].min() >= 0
+    assert len(kc) >= 0 and (len(kc) == 0 or kc["degree"].min() >= 3)
