@@ -93,7 +93,10 @@ def main():
     from engine.operators.labelprop import label_propagation
     from engine.operators.bfs import bfs_levels
 
+    from engine.operators.scc import strongly_connected_components
+
     timed("connected_components", lambda: connected_components(edges).count())
+    timed("scc", lambda: strongly_connected_components(edges).count())
     timed("label_propagation", lambda: label_propagation(edges, max_iter=5).count())
     timed("triangle_count", lambda: triangle_count(edges).collect())
     src0 = spark.createDataFrame([(0,)], "id long")

@@ -11,6 +11,7 @@ metadata:
   tri/  (triangles)       sorted-adjacency triangle count
   kcore/ (id, degree)     k-core peel survivors (--kcore-k, default 3)
   coreness/ (id, core)    exact core numbers (h-index iteration)
+  scc/   (id, label)      strongly connected components (trim + FB coloring)
 
 --edges-table reads a bucketed catalog table (engine/sources/bucketed.py,
 written by jobs/bucketize_job.py) instead of --edges: the src-clustering
@@ -109,6 +110,20 @@ def main(argv=None):
         meta["kcore_k"] = args.kcore_k
         meta["kcore_rounds"] = len(kc_metrics.get("kcore_rounds", []))
         meta["kcore_sec"] = round(time.time() - t0, 3)
+    if "scc" in wanted:
+        from engine.operators._pins import pin_scope
+        from engine.operators.scc import strongly_connected_components
+
+        t0 = time.time()
+        scc_metrics: list = []
+        with pin_scope():
+            sc = strongly_connected_components(
+                edges, max_outer=args.max_iter, metrics=scc_metrics
+            )
+            sc.write.mode("overwrite").parquet(os.path.join(args.out, "scc"))
+        meta["scc_outer_rounds"] = len(scc_metrics)
+        meta["scc_metrics"] = scc_metrics
+        meta["scc_sec"] = round(time.time() - t0, 3)
     if "coreness" in wanted:
         from engine.operators._pins import pin_scope
         from engine.operators.kcore import core_numbers

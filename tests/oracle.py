@@ -246,3 +246,65 @@ def hits_numpy(edges, n=None, tol=1e-8, max_iter=100):
             converged = True
             break
     return h, a, it + 1, converged
+
+
+def scc_py(edges, nodes=None):
+    """Directed SCC; label = min node id in the component. Iterative Tarjan."""
+    adj: dict = {}
+    universe = set()
+    for u, v in edges:
+        universe.add(u)
+        universe.add(v)
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    if nodes is not None:
+        universe |= set(nodes)
+
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    for root in universe:
+        if root in index:
+            continue
+        # iterative Tarjan: work stack of (node, child-iterator)
+        work = [(root, iter(adj.get(root, ())))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                label = min(members)
+                for w in members:
+                    comp[w] = label
+    return comp

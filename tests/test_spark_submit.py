@@ -167,7 +167,7 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
         [
             sys.executable, str(REPO / "jobs" / "kernels_job.py"),
             "--edges-table", "t_e2e_bucketed", "--out", str(out),
-            "--kernels", "kcore,coreness", "--kcore-k", "3",
+            "--kernels", "kcore,coreness,scc", "--kcore-k", "3",
             "--warehouse", str(wh), "--metastore-dir", str(tmp_path / "ms"),
             "--master", "local[8]", "--partitions", "8",
         ],
@@ -179,3 +179,12 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
     cn = pq.read_table(out / "coreness").to_pandas()
     assert len(cn) > 0 and cn["core"].min() >= 0
     assert len(kc) >= 0 and (len(kc) == 0 or kc["degree"].min() >= 3)
+    # scc output: exact-label match against the iterative-Tarjan oracle
+    from oracle import scc_py
+
+    sc = pq.read_table(out / "scc").to_pandas()
+    assert dict(zip(sc["id"], sc["label"])) == scc_py(rows)
+    meta2 = json.loads(
+        [l for l in proc2.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert meta2["scc_outer_rounds"] >= 1
