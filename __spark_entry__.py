@@ -597,6 +597,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.expr("percentile(deg, 0.99)"), 6).alias("p99"),
         )
 
+    def x6_hash_split(spark, sf):
+        # deterministic leak-proof train/val/test assignment by hashed key —
+        # map-only (no Exchange), stable under repartitioning/cluster size,
+        # recomputable in any engine (md5 hex arithmetic; the oracle
+        # recomputes it bit-for-bit)
+        from engine.operators.sampling import hash_split
+
+        docs = _t(spark, sf, "documents")
+        return hash_split(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+        ).select("doc_id", "split")
+
+    def x7_stratified_sample(spark, sf):
+        # per-language corpus mixing: keep all German, a quarter of English,
+        # half of everything else — deterministic per (doc_id, salt)
+        from engine.operators.sampling import stratified_hash_sample
+
+        docs = _t(spark, sf, "documents")
+        return stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.25, "de": 1.0},
+            default_rate=0.5, salt="mix1",
+        ).select("doc_id", "lang")
+
     def p1_extraction_pipeline(spark, sf):
         # full web pipeline on the deterministic synthetic pages table:
         # html -> Arrow-UDF extraction -> explode -> normalize -> filters ->
@@ -624,7 +647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # supersets), and — to seat g9_scc and a16_degree_stats —
     # c7_snippets and tfidf_doc_norms, both strict sub-computations of the
     # in-window q2_search_api / tfidf_query_scores pipelines that gate the
-    # same code paths end-to-end.
+    # same code paths end-to-end; and x2_fingerprint_md5 to seat
+    # x6_hash_split, whose oracle recomputes md5 PLUS the hex→uniform split
+    # arithmetic (a strict superset of x2's md5 gate).
     return {
         "a1_out_degree": a1_out_degree,
         "a2_dangling_nodes": a2_dangling_nodes,
@@ -656,7 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_drop_near_duplicates": d5_drop_near_duplicates,
         "sim2_embedding_near_dup": sim2_embedding_near_dup,
         "x1_token_counts": x1_token_counts,
-        "x2_fingerprint_md5": x2_fingerprint_md5,
+        "x6_hash_split": x6_hash_split,
         "x3_langid": x3_langid,
         "m1_media_meta": m1_media_meta,
         "w1_event_window_agg": w1_event_window_agg,
@@ -690,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_rank_topk": t5_rank_topk,
         "c7_snippets": c7_snippets,
         "tfidf_doc_norms": tfidf_doc_norms,
+        "x2_fingerprint_md5": x2_fingerprint_md5,
+        "x7_stratified_sample": x7_stratified_sample,
         "i1_pagerank": i1_pagerank,
         "i2_personalized_pagerank": i2_personalized_pagerank,
         "g6_hits": g6_hits,
@@ -1416,5 +1443,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*)::BIGINT AS triangles
             FROM und e1 JOIN und e2 ON e2.u = e1.v JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # deterministic hash split/sample: the oracle recomputes the md5
+        # hex→uniform arithmetic bit-for-bit (portability is the operator's
+        # contract — see engine/operators/sampling.py)
+        "x6_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substring(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT
+                           / 4294967296.0 AS u
+                FROM documents)
+        """,
+        "x7_stratified_sample": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substring(md5(doc_id::VARCHAR || 'mix1'), 1, 8))::BIGINT
+                           / 4294967296.0 AS u,
+                       CASE WHEN lang = 'en' THEN 0.25
+                            WHEN lang = 'de' THEN 1.0
+                            ELSE 0.5 END AS r
+                FROM documents)
+            WHERE u < r
         """,
     }

@@ -1,0 +1,112 @@
+"""Deterministic hash-based sampling and split assignment.
+
+Training-data curation needs sampling that is REPRODUCIBLE at cluster
+scale: `df.sample()` draws per-partition pseudo-random numbers, so its
+output changes whenever partitioning, parallelism, or input file order
+changes — the exact things that differ between a laptop run and a
+1000-executor run, or between two runs of the same pipeline after a
+repartition. The fix is content-hash sampling: u(key) = the first 8 hex
+digits of md5(key || salt) scaled to [0, 1), so membership depends only
+on the row's key and the salt. Properties that matter at 100 TB:
+
+- **Map-only.** No shuffle, no aggregate, no state — a narrow projection
+  /filter that fuses into whole-stage codegen around the scan; filters
+  push down on top of it.
+- **Stable** under repartitioning, AQE re-planning, speculative retries,
+  and cluster size. The same (key, salt) lands in the same split forever —
+  which is what makes train/test splits *leak-proof across pipeline
+  versions*: re-running ingest can add or drop rows but never silently
+  moves a document from train to test.
+- **Nested**: hash_sample(rate=0.2) is a strict subset of
+  hash_sample(rate=0.5) for the same salt (threshold nesting), so
+  down-sampled dev corpora are true subsets of the full corpus.
+- **Portable**: md5 is engine-independent, so the same assignment is
+  computable in any SQL engine for auditing (the DuckDB oracle in
+  __spark_entry__ recomputes it bit-for-bit).
+
+Choose distinct salts for independent decisions (e.g. split assignment
+vs subsampling) — with the same salt the two decisions are maximally
+correlated by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_u(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform-[0,1) from a key: first 8 md5 hex digits.
+
+    The key is cast to string first, so integer and string keys with equal
+    text representations agree across engines."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(
+        float(1 << 32)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by hashed key.
+
+    splits: ordered {label: weight}; weights must sum to ~1 (validated to
+    1e-9). A row lands in the first label whose cumulative weight exceeds
+    its u(key) — so the label boundaries, and therefore every assignment,
+    are insensitive to row order, partitioning, and cluster size.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    u = hash_u(F.col(key_col), salt)
+    labels = list(splits)
+    expr = F.lit(labels[-1])  # last label absorbs the 1.0 boundary
+    cum = 0.0
+    conds = []
+    for name, w in list(splits.items())[:-1]:
+        cum += w
+        conds.append((name, cum))
+    for name, bound in reversed(conds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows with u(key) < rate — deterministic, nested across rates."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_u(F.col(key_col), salt) < F.lit(rate))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language corpus mixing:
+    keep 100% of low-resource languages, 10% of English). rates maps a
+    stratum value to its keep-rate; strata not listed use default_rate.
+    Still map-only: the stratum→rate mapping is a CASE expression, not a
+    join."""
+    for v, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {v!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    rate_expr = F.lit(float(default_rate))
+    for v, r in rates.items():
+        rate_expr = F.when(F.col(strata_col) == F.lit(v), F.lit(float(r))).otherwise(
+            rate_expr
+        )
+    return df.filter(hash_u(F.col(key_col), salt) < rate_expr)
