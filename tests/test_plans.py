@@ -248,6 +248,20 @@ def test_pin_scope_releases_cache(spark):
     )
     release_all_pins()  # drain pins left by earlier tests in the shared session
     spark.catalog.clearCache()
+    # localCheckpoint blocks from earlier kernel tests (CC/BFS/SCC rounds)
+    # are freed by the ContextCleaner only after a JVM GC — trigger it and
+    # wait, so the ==0 asserts below measure THIS query's pins only
+    import gc
+    import time as _time
+
+    gc.collect()
+    sc = spark.sparkContext
+    for _ in range(60):
+        if len(sc._jsc.sc().getRDDStorageInfo()) == 0:
+            break
+        sc._jvm.System.gc()
+        _time.sleep(0.5)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0  # precondition drained
     with pin_scope():
         n = dedupe.minhash_lsh_dedupe_pairs(docs, threshold=0.3).count()
         assert n >= 0
