@@ -362,6 +362,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = pagerank(e, nodes=nodes, tol=0.0, max_iter=3, check_every=3)
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
+    def i2b_ppr_3iter(spark, sf):
+        # oracle-gated personalized PageRank: same pagerank() with a 3-id
+        # teleport vector (weights 5/3/2 normalized in-engine), pinned to
+        # exactly 3 iterations — the i1b unrolling with the PPR recurrence
+        # rank = α(gathered + dm·pw) + (1-α)·pw, init rank = pw
+        e = _edges(spark, sf)
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        pers = spark.createDataFrame(
+            [(0, 5.0), (7, 3.0), (13, 2.0)], "id long, weight double"
+        )
+        res = pagerank(
+            e, nodes=nodes, tol=0.0, max_iter=3, check_every=3, personalization=pers
+        )
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
     def g6b_hits_2iter(spark, sf):
         # oracle-gated HITS: exactly 2 full (authority, hub) iterations with
         # L2 normalization per half-step — unrolls into 4 join+agg+norm SQL
@@ -647,9 +666,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # supersets), and — to seat g9_scc and a16_degree_stats —
     # c7_snippets and tfidf_doc_norms, both strict sub-computations of the
     # in-window q2_search_api / tfidf_query_scores pipelines that gate the
-    # same code paths end-to-end; and x2_fingerprint_md5 to seat
+    # same code paths end-to-end; x2_fingerprint_md5 to seat
     # x6_hash_split, whose oracle recomputes md5 PLUS the hex→uniform split
-    # arithmetic (a strict superset of x2's md5 gate).
+    # arithmetic (a strict superset of x2's md5 gate); and
+    # w3_sliding_window_counts (the w1 tumbling-window operator with a slide
+    # parameter; w1 and w2 keep the event-time family in-window) to seat
+    # i2b_ppr_3iter — with it, all three link-analysis recurrences
+    # (PageRank, personalized PageRank, HITS) are driver-graded via
+    # unrolled-SQL oracles.
     return {
         "a1_out_degree": a1_out_degree,
         "a2_dangling_nodes": a2_dangling_nodes,
@@ -686,7 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_media_meta": m1_media_meta,
         "w1_event_window_agg": w1_event_window_agg,
         "w2_session_counts": w2_session_counts,
-        "w3_sliding_window_counts": w3_sliding_window_counts,
+        "i2b_ppr_3iter": i2b_ppr_3iter,
         "g3_triangle_count": g3_triangle_count,
         "g4_triangles_per_vertex": g4_triangles_per_vertex,
         "g5_bfs_levels": g5_bfs_levels,
@@ -717,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_norms": tfidf_doc_norms,
         "x2_fingerprint_md5": x2_fingerprint_md5,
         "x7_stratified_sample": x7_stratified_sample,
+        "w3_sliding_window_counts": w3_sliding_window_counts,
         "i1_pagerank": i1_pagerank,
         "i2_personalized_pagerank": i2_personalized_pagerank,
         "g6_hits": g6_hits,
@@ -845,6 +870,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, CAST(round(rank / (SELECT sum(rank) FROM r3), 6) AS DOUBLE) AS rank
         FROM r3
     """
+    # PPR UNROLLED to exactly 3 iterations (pagerank.py:296-302): init
+    # rank = pw, per round rank = 0.85*(gathered + dm*pw) + 0.15*pw, where
+    # pw is the teleport vector normalized in-SQL from the same raw weights
+    # the Spark query passes (identical division → identical doubles) and
+    # dm is the previous round's dangling rank mass; final Σ-normalize
+    ppr_parts = []
+    for k in range(1, 4):
+        ppr_parts.append(f"""dm{k} AS MATERIALIZED (
+          SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+          FROM r{k - 1} r WHERE r.id NOT IN (SELECT src FROM deg)
+        ), g{k} AS MATERIALIZED (
+          SELECT a.dst AS id, sum(r.rank * a.w) AS g
+          FROM adj a JOIN r{k - 1} r ON r.id = a.src GROUP BY a.dst
+        ), r{k} AS MATERIALIZED (
+          SELECT p.id,
+                 CAST(0.85 AS DOUBLE) * (coalesce(g.g, CAST(0.0 AS DOUBLE))
+                     + (SELECT dm FROM dm{k}) * p.pw)
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * p.pw AS rank
+          FROM p LEFT JOIN g{k} g ON g.id = p.id
+        )""")
+    ppr3_sql = f"""
+        WITH e AS MATERIALIZED ({_EDGES_SQL}),
+        nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        adj AS MATERIALIZED (
+            SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w
+            FROM e JOIN deg d ON d.src = e.src),
+        pweights(pid, pweight) AS (VALUES (0, CAST(5.0 AS DOUBLE)),
+                                          (7, CAST(3.0 AS DOUBLE)),
+                                          (13, CAST(2.0 AS DOUBLE))),
+        p AS MATERIALIZED (
+            SELECT n.id,
+                   coalesce(w.pweight / (SELECT sum(pweight) FROM pweights),
+                            CAST(0.0 AS DOUBLE)) AS pw
+            FROM nodes n LEFT JOIN pweights w ON w.pid = n.id),
+        r0 AS MATERIALIZED (SELECT id, pw AS rank FROM p),
+        {','.join(ppr_parts)}
+        SELECT id, CAST(round(rank / (SELECT sum(rank) FROM r3), 6) AS DOUBLE) AS rank
+        FROM r3
+    """
     # HITS UNROLLED to exactly 2 iterations (hits.py:33-164): per iteration
     # a = L2norm(Σ_in h) THEN h = L2norm(Σ_out a_new), over the DEDUPED edge
     # set, scores coalesced to 0 over the full src∪dst universe before the
@@ -909,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "j4_gather_revenue": revenue_sql,
         "j4_salted_gather_revenue": revenue_sql,
         "i1b_pagerank_3iter": pagerank3_sql,
+        "i2b_ppr_3iter": ppr3_sql,
         "g6b_hits_2iter": hits2_sql,
         "f8_semi_join": """
             SELECT o_orderkey FROM orders
