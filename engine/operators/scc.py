@@ -200,9 +200,19 @@ def strongly_connected_components(
         # ---- 1. trim: peel no-in / no-out vertices (singleton SCCs) ----
         trims = 0
         while True:
-            srcs = e.select(F.col("src").alias("id")).distinct()
-            dsts = e.select(F.col("dst").alias("id")).distinct()
-            keep = _pin(srcs.join(dsts, "id"))  # has both an in- and an out-edge
+            # one shuffle per trim round: tag endpoints, partial-agg map-side,
+            # keep ids seen on BOTH sides (vs two distincts + a join = 3
+            # shuffles over the same edge set)
+            keep = _pin(
+                e.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+                .union(
+                    e.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+                )
+                .groupBy("id")
+                .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
+                .filter((F.col("has_out") == 1) & (F.col("has_in") == 1))
+                .select("id")
+            )
             n_keep = keep.count()
             if n_keep == n_remaining:
                 break
