@@ -566,7 +566,7 @@ non-PageRank kernels well beyond unit-test scale (64 partitions):
 | connected components (large/small-star) | 28.9 s (r2: 39.0) | 1 component (giant component, as expected at avg degree 10) |
 | label propagation (5 synchronous rounds) | 14.7 s (r2: 19.3) | converged to 1 label |
 | triangle count (degree-oriented intersect) | 13.1 s (r2: 14.0) | 120,452 triangles |
-| strongly connected components (trim + FB coloring, new in r4) | 182.0 s | giant SCC of 989,759 + 10,241 total components; 1 outer peel (4 trim + 12 coloring + 11 backward materialized rounds — the directed kernel does ~27 state rounds where CC needs ~6, hence the higher wall) |
+| strongly connected components (trim + FB coloring, new in r4) | 109.3 s (first cut: 182.0 — the one-shuffle trim re-measured identical outputs) | giant SCC of 989,759 + 10,241 total components; 1 outer peel (4 trim + 12 coloring + 11 backward materialized rounds — the directed kernel does ~27 state rounds where CC needs ~6, hence the higher wall) |
 
 (r3 re-measurement after the one-materialization-per-round and
 pinned-adjacency changes; identical outputs as the r2 run — the counts
