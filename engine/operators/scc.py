@@ -229,6 +229,12 @@ def strongly_connected_components(
             keep.unpersist()  # remaining/e checkpoints now hold the state
             n_remaining = n_keep
             trims += 1
+            # deep-DAG graphs (chains) trim for O(diameter) rounds; the done
+            # union grows one node per round and its anti-join inputs are
+            # replaced frames — compact periodically to bound plan depth
+            # (the BFS visited-compaction rule, bfs.py)
+            if done is not None and trims % 25 == 0:
+                done = _ckpt(done, P, "id")
         stats["trim_rounds"] = trims
         if n_remaining == 0:
             if done is not None:

@@ -511,3 +511,15 @@ def test_scc_checkpoint_resume_identical(spark, tmp_path):
         ).collect()
     }
     assert got3 == scc_py(other)
+
+
+def test_scc_deep_chain_trim_compaction(spark):
+    # pure-DAG chain: every vertex is a singleton SCC and the trim phase
+    # peels 2 ends per round for ~n/2 rounds — exercises the periodic done
+    # compaction (plan depth stays bounded; labels still exact)
+    n = 80
+    edges = [(i, i + 1) for i in range(n)]
+    metrics = []
+    got = _scc_spark(spark, edges, metrics=metrics)
+    assert got == {i: i for i in range(n + 1)}
+    assert metrics[0]["trim_rounds"] >= n // 2 - 1
