@@ -600,6 +600,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return strongly_connected_components(e)
 
+    def g10_neighborhood_3hop(spark, sf):
+        # exact neighborhood function N(h), h=0..3, on the same sparse
+        # bowtie subgraph as g9_scc (the web-measurement curve behind
+        # effective-diameter reports) — exact pair-set path, oracle = the
+        # same closure as recursive SQL. The 100 TB path is the HyperBall
+        # sketch variant (g11, rows-only: xxhash64 registers).
+        from engine.operators.neighborhood import neighborhood_exact
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return neighborhood_exact(e, 3)
+
+    def g11_hyperball_nf(spark, sf):
+        # HyperBall HLL-sketch estimate of the same curve over the full
+        # derived graph — the sketch path that replaces pair materialization
+        # at web scale; registers are xxhash64-derived so there is no
+        # portable SQL (pytest-gated against the exact path instead)
+        from engine.operators.neighborhood import neighborhood_hyperball
+
+        nf = neighborhood_hyperball(_edges(spark, sf), 2, b=6)
+        return nf.select("h", F.round("pairs", 3).alias("pairs"))
+
     def a16_degree_stats(spark, sf):
         # out-degree distribution summary: the skew profile that drives the
         # salted-gather / AQE-skew decisions (exact interpolated percentiles
@@ -673,7 +698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # parameter; w1 and w2 keep the event-time family in-window) to seat
     # i2b_ppr_3iter — with it, all three link-analysis recurrences
     # (PageRank, personalized PageRank, HITS) are driver-graded via
-    # unrolled-SQL oracles.
+    # unrolled-SQL oracles; and a11_distinct_suppliers_per_part (a
+    # countDistinct whose document-frequency stage the in-window
+    # tfidf_postings gates end-to-end) to seat g10_neighborhood_3hop, the
+    # exact neighborhood-function curve.
     return {
         "a1_out_degree": a1_out_degree,
         "a2_dangling_nodes": a2_dangling_nodes,
@@ -688,7 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_argmax_latest_order": a7_argmax_latest_order,
         "a8_max_total_per_customer": a8_max_total_per_customer,
         "a9_minmax_acctbal": a9_minmax_acctbal,
-        "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
+        "g10_neighborhood_3hop": g10_neighborhood_3hop,
         "a15_graph_summary": a15_graph_summary,
         "t1_topk_revenue": t1_topk_revenue,
         "g7_kcore_4round": g7_kcore_4round,
@@ -742,7 +770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_fingerprint_md5": x2_fingerprint_md5,
         "x7_stratified_sample": x7_stratified_sample,
         "w3_sliding_window_counts": w3_sliding_window_counts,
+        "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
         "i1_pagerank": i1_pagerank,
+        "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
         "g6_hits": g6_hits,
         "d3_minhash_lsh_pairs": d3_minhash_lsh_pairs,
@@ -1490,6 +1520,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.id AS id, least(n.id, coalesce(min(m.v), n.id)) AS label
             FROM nodes n LEFT JOIN mutual m ON m.u = n.id
             GROUP BY n.id
+        """,
+        # exact neighborhood function: bounded-depth closure with min
+        # distance per pair, then the cumulative pair count per h
+        "g10_neighborhood_3hop": """
+            WITH RECURSIVE
+            eraw AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM eraw UNION ALL SELECT dst AS id FROM eraw)
+            ),
+            walk(a, b, d) AS (
+                SELECT id, id, 0 FROM nodes
+                UNION
+                SELECT w.a, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.b
+                WHERE w.d < 3
+            ),
+            md AS MATERIALIZED (SELECT a, b, min(d) AS d FROM walk GROUP BY a, b),
+            hs(h) AS (VALUES (0), (1), (2), (3))
+            SELECT h::BIGINT AS h,
+                   (SELECT count(*) FROM md WHERE md.d <= hs.h)::BIGINT AS pairs
+            FROM hs
         """,
         "a16_degree_stats": f"""
             WITH deg AS (

@@ -523,3 +523,61 @@ def test_scc_deep_chain_trim_compaction(spark):
     got = _scc_spark(spark, edges, metrics=metrics)
     assert got == {i: i for i in range(n + 1)}
     assert metrics[0]["trim_rounds"] >= n // 2 - 1
+
+
+# --------------------------------------------------------------------------
+# Neighborhood function / effective diameter (exact + HyperBall)
+# --------------------------------------------------------------------------
+
+def _nf_py(edges, max_h):
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        nodes |= {u, v}
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+    pairs = {(v, v) for v in nodes}
+    out = [len(pairs)]
+    for _ in range(max_h):
+        pairs = pairs | {(a, w) for (a, b) in pairs for w in adj.get(b, ())}
+        out.append(len(pairs))
+    return out
+
+
+def test_neighborhood_exact_chain(spark):
+    from engine.operators.neighborhood import effective_diameter, neighborhood_exact
+
+    df = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    nf = neighborhood_exact(df, 3)
+    assert {r.h: r.pairs for r in nf.collect()} == {0: 4, 1: 7, 2: 9, 3: 10}
+    # 90% of 10 pairs = 9, reached exactly at h=2
+    assert effective_diameter(nf, q=0.9) == 2.0
+
+
+def test_neighborhood_exact_random_vs_oracle(spark):
+    from engine.operators.neighborhood import neighborhood_exact
+
+    edges = _sparse_graph(n=70, m=180, seed=5)
+    got = {r.h: r.pairs for r in neighborhood_exact(_edges_df(spark, edges), 3).collect()}
+    want = _nf_py(edges, 3)
+    assert [got[h] for h in range(4)] == want
+
+
+def test_hyperball_tracks_exact_and_is_deterministic(spark):
+    from engine.operators.neighborhood import neighborhood_hyperball
+
+    edges = _sparse_graph(n=60, m=150, seed=5)
+    df = _edges_df(spark, edges)
+    want = _nf_py(edges, 3)
+    hb1 = {r.h: r.pairs for r in neighborhood_hyperball(df, 3, b=6).collect()}
+    for h in range(4):
+        assert abs(hb1[h] - want[h]) / want[h] < 0.35, (h, hb1[h], want[h])
+    # deterministic hash sketches: the registers are layout-independent, so
+    # a rerun under different partitioning agrees to float-sum reordering
+    # (the estimator's Σ2^-val / Σestimate), unlike sampling-based ANF
+    hb2 = {
+        r.h: r.pairs
+        for r in neighborhood_hyperball(df.repartition(7), 3, b=6).collect()
+    }
+    for h in range(4):
+        assert abs(hb1[h] - hb2[h]) <= 1e-9 * abs(hb1[h])
