@@ -664,6 +664,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_rate=0.5, salt="mix1",
         ).select("doc_id", "lang")
 
+    def g12_random_walks(spark, sf):
+        # deterministic walk-corpus generation (DeepWalk/node2vec input):
+        # one 4-step walk per vertex; the md5 neighbor choice is portable,
+        # so the DuckDB oracle replays every hop bit-for-bit
+        from engine.operators.walks import random_walks
+
+        return random_walks(_edges(spark, sf), walk_length=4, num_walks=1, salt="w1")
+
     def p1_extraction_pipeline(spark, sf):
         # full web pipeline on the deterministic synthetic pages table:
         # html -> Arrow-UDF extraction -> explode -> normalize -> filters ->
@@ -771,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_stratified_sample": x7_stratified_sample,
         "w3_sliding_window_counts": w3_sliding_window_counts,
         "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
+        "g12_random_walks": g12_random_walks,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1564,6 +1573,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*)::BIGINT AS triangles
             FROM und e1 JOIN und e2 ON e2.u = e1.v JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # deterministic walk corpus: the oracle replays the md5 neighbor
+        # choice hop by hop over the same row_number'd adjacency
+        "g12_random_walks": f"""
+            WITH adjd AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+            ),
+            adj AS MATERIALIZED (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+                FROM adjd
+            ),
+            deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM ({_EDGES_SQL})
+                    UNION ALL SELECT dst FROM ({_EDGES_SQL}))
+            ),
+            f0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM nodes),
+            {','.join(
+                f'''f{s} AS MATERIALIZED (
+                  SELECT f.walk_id, a.dst AS cur
+                  FROM f{s - 1} f
+                  JOIN deg d ON d.src = f.cur
+                  JOIN adj a ON a.src = f.cur AND a.idx =
+                    (('0x' || substring(md5(f.cur::VARCHAR || '|' || '{s}' || '|' ||
+                        f.walk_id::VARCHAR || '|' || 'w1'), 1, 8))::BIGINT % d.deg)
+                )''' for s in range(1, 5)
+            )}
+            SELECT walk_id, 0::BIGINT AS step, cur AS node FROM f0
+            UNION ALL SELECT walk_id, 1::BIGINT, cur FROM f1
+            UNION ALL SELECT walk_id, 2::BIGINT, cur FROM f2
+            UNION ALL SELECT walk_id, 3::BIGINT, cur FROM f3
+            UNION ALL SELECT walk_id, 4::BIGINT, cur FROM f4
         """,
         # deterministic hash split/sample: the oracle recomputes the md5
         # hex→uniform arithmetic bit-for-bit (portability is the operator's
