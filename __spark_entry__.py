@@ -664,6 +664,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_rate=0.5, salt="mix1",
         ).select("doc_id", "lang")
 
+    def g13_katz_3iter(spark, sf):
+        # oracle-gated Katz centrality: the third power-iteration measure
+        # (after PageRank and HITS), pinned to 3 fixed rounds so the
+        # recurrence x_{k+1} = 1 + β·(Aᵀ x_k) unrolls into SQL; round 6
+        from engine.operators.katz import katz_centrality
+
+        out = katz_centrality(_edges(spark, sf), beta=0.05, tol=0.0, max_iter=3)
+        return out.select("id", F.round("katz", 6).alias("katz"))
+
     def g12_random_walks(spark, sf):
         # deterministic walk-corpus generation (DeepWalk/node2vec input):
         # one 4-step walk per vertex; the md5 neighbor choice is portable,
@@ -780,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_sliding_window_counts": w3_sliding_window_counts,
         "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
         "g12_random_walks": g12_random_walks,
+        "g13_katz_3iter": g13_katz_3iter,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1573,6 +1583,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*)::BIGINT AS triangles
             FROM und e1 JOIN und e2 ON e2.u = e1.v JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        # Katz UNROLLED to 3 fixed rounds (katz.py): x0 = 1,
+        # x_{k+1}(v) = 1 + β Σ_{u→v} x_k(u) over the RAW edge multiset
+        "g13_katz_3iter": f"""
+            WITH e AS MATERIALIZED ({_EDGES_SQL}),
+            nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            x0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM nodes),
+            {','.join(
+                f'''g{k} AS MATERIALIZED (
+                  SELECT e.dst AS id, sum(x.x) AS g
+                  FROM e JOIN x{k - 1} x ON x.id = e.src GROUP BY e.dst
+                ), x{k} AS MATERIALIZED (
+                  SELECT n.id,
+                         CAST(1.0 AS DOUBLE)
+                           + CAST(0.05 AS DOUBLE) * coalesce(g.g, CAST(0.0 AS DOUBLE)) AS x
+                  FROM nodes n LEFT JOIN g{k} g ON g.id = n.id
+                )''' for k in range(1, 4)
+            )}
+            SELECT id, CAST(round(x, 6) AS DOUBLE) AS katz FROM x3
         """,
         # deterministic walk corpus: the oracle replays the md5 neighbor
         # choice hop by hop over the same row_number'd adjacency

@@ -581,3 +581,53 @@ def test_hyperball_tracks_exact_and_is_deterministic(spark):
     }
     for h in range(4):
         assert abs(hb1[h] - hb2[h]) <= 1e-9 * abs(hb1[h])
+
+
+def test_katz_vs_numpy_oracle(spark):
+    import numpy as np
+
+    from engine.operators.katz import katz_centrality
+
+    edges = _sparse_graph(n=50, m=120, seed=21)
+    ids = sorted({u for e in edges for u in e})
+    pos = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for u, v in edges:
+        A[pos[u], pos[v]] += 1.0  # duplicates count (raw-edge convention)
+    beta = 0.02  # well below 1/lambda_max for this graph
+    want = np.linalg.solve(np.eye(len(ids)) - beta * A.T, np.ones(len(ids)))
+    m = []
+    got = {
+        r.id: r.katz
+        for r in katz_centrality(
+            _edges_df(spark, edges), beta=beta, tol=1e-12, metrics=m
+        ).collect()
+    }
+    assert len(got) == len(ids)
+    for v in ids:
+        assert abs(got[v] - want[pos[v]]) < 1e-9, v
+    assert m[-1]["delta"] < 1e-12  # converged, with per-iteration metrics
+
+
+def test_katz_fixed_iterations_unrolled(spark):
+    from engine.operators.katz import katz_centrality
+
+    # chain 0->1->2: x after 2 fixed rounds, hand-unrolled
+    df = _edges_df(spark, [(0, 1), (1, 2)])
+    got = {
+        r.id: r.katz
+        for r in katz_centrality(df, beta=0.5, tol=0.0, max_iter=2).collect()
+    }
+    # x0 = 1; x1 = 1 + 0.5*in; x2 from x1
+    assert got[0] == 1.0
+    assert got[1] == 1.0 + 0.5 * 1.0
+    assert got[2] == 1.0 + 0.5 * 1.5
+
+
+def test_katz_rejects_bad_beta(spark):
+    import pytest
+
+    from engine.operators.katz import katz_centrality
+
+    with pytest.raises(ValueError):
+        katz_centrality(_edges_df(spark, [(0, 1)]), beta=1.0)
