@@ -362,6 +362,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = pagerank(e, nodes=nodes, tol=0.0, max_iter=3, check_every=3)
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
+    def i1c_wpagerank_3iter(spark, sf):
+        # oracle-gated WEIGHTED PageRank (weight_col — anchor-text/link-
+        # frequency weighting): contributions rank·w/Σw(src) instead of
+        # rank/outdeg, weights = l_quantity (integral doubles, so the Σw
+        # sums are exact and engine-portable); same i1b unrolling, 3 fixed
+        # iterations, round(rank, 6)
+        li = _t(spark, sf, "lineitem")
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+            F.col("l_quantity").cast("double").alias("wt"),
+        )
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        res = pagerank(e, nodes=nodes, tol=0.0, max_iter=3, check_every=3, weight_col="wt")
+        return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
     def i2b_ppr_3iter(spark, sf):
         # oracle-gated personalized PageRank: same pagerank() with a 3-id
         # teleport vector (weights 5/3/2 normalized in-engine), pinned to
@@ -673,6 +693,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = katz_centrality(_edges(spark, sf), beta=0.05, tol=0.0, max_iter=3)
         return out.select("id", F.round("katz", 6).alias("katz"))
 
+    def g14_link_prediction(spark, sf):
+        # oracle-gated neighbor-overlap link prediction (CN / Jaccard /
+        # Adamic-Adar / resource-allocation / preferential-attachment) on
+        # the sparse bowtie subgraph (same as g9/g10) — non-adjacent pairs
+        # with >= 1 shared neighbor; the AA/RA sums follow the exact
+        # decimal-sum float policy so the hash is engine-portable
+        from engine.operators.linkpred import link_prediction_scores
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return link_prediction_scores(e)
+
     def g12_random_walks(spark, sf):
         # deterministic walk-corpus generation (DeepWalk/node2vec input):
         # one 4-step walk per vertex; the md5 neighbor choice is portable,
@@ -790,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
         "g12_random_walks": g12_random_walks,
         "g13_katz_3iter": g13_katz_3iter,
+        "g14_link_prediction": g14_link_prediction,
+        "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -905,6 +942,44 @@ def oracle_sql() -> dict[str, str]:
                  + (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) AS rank
           FROM nodes n LEFT JOIN g{k} g ON g.id = n.id
         )""")
+    # WEIGHTED pagerank unrolled to 3 iterations (pagerank.py weight_col):
+    # deg = Σ l_quantity per src (integral doubles — exact sums), per-edge
+    # w = wt/deg (one IEEE division, engine-portable); recurrence otherwise
+    # identical to pagerank3_sql
+    wpr_parts = []
+    for k in range(1, 4):
+        wpr_parts.append(f"""dm{k} AS MATERIALIZED (
+          SELECT coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)) AS dm
+          FROM r{k - 1} r WHERE r.id NOT IN (SELECT src FROM deg)
+        ), g{k} AS MATERIALIZED (
+          SELECT a.dst AS id, sum(r.rank * a.w) AS g
+          FROM adj a JOIN r{k - 1} r ON r.id = a.src GROUP BY a.dst
+        ), r{k} AS MATERIALIZED (
+          SELECT n.id,
+                 CAST(0.85 AS DOUBLE) * (coalesce(g.g, CAST(0.0 AS DOUBLE))
+                     + (SELECT dm FROM dm{k}) / (SELECT n FROM nn))
+                 + (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) AS rank
+          FROM nodes n LEFT JOIN g{k} g ON g.id = n.id
+        )""")
+    wpagerank3_sql = f"""
+        WITH e AS MATERIALIZED (
+            SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst,
+                   CAST(l_quantity AS DOUBLE) AS wt
+            FROM lineitem
+        ),
+        nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        deg AS MATERIALIZED (
+            SELECT src, sum(wt) AS deg FROM e WHERE wt > 0 GROUP BY src),
+        adj AS MATERIALIZED (
+            SELECT e.src, e.dst, e.wt / d.deg AS w
+            FROM e JOIN deg d ON d.src = e.src WHERE e.wt > 0),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+        {','.join(wpr_parts)}
+        SELECT id, CAST(round(rank / (SELECT sum(rank) FROM r3), 6) AS DOUBLE) AS rank
+        FROM r3
+    """
     pagerank3_sql = f"""
         WITH e AS MATERIALIZED ({_EDGES_SQL}),
         nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
@@ -1023,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "j4_gather_revenue": revenue_sql,
         "j4_salted_gather_revenue": revenue_sql,
         "i1b_pagerank_3iter": pagerank3_sql,
+        "i1c_wpagerank_3iter": wpagerank3_sql,
         "i2b_ppr_3iter": ppr3_sql,
         "g6b_hits_2iter": hits2_sql,
         "f8_semi_join": """
@@ -1586,6 +1662,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Katz UNROLLED to 3 fixed rounds (katz.py): x0 = 1,
         # x_{k+1}(v) = 1 + β Σ_{u→v} x_k(u) over the RAW edge multiset
+        # neighbor-overlap link prediction on the sparse bowtie subgraph:
+        # wedge enumeration through every shared neighbor, AA/RA per-wedge
+        # terms rounded to 9 dp then exact-DECIMAL-summed (bit-identical
+        # across engines), final scores rounded to 6 dp
+        "g14_link_prediction": """
+            WITH e AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst
+            ),
+            sym AS MATERIALIZED (
+                SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und
+            ),
+            deg AS MATERIALIZED (SELECT x, count(*) AS deg FROM sym GROUP BY x),
+            adj AS MATERIALIZED (
+                SELECT s.x AS w, s.y AS nbr, d.deg AS deg_w
+                FROM sym s JOIN deg d ON d.x = s.x
+            ),
+            wedges AS MATERIALIZED (
+                SELECT a1.nbr AS u, a2.nbr AS v,
+                       CASE WHEN a1.deg_w > 1
+                            THEN CAST(round(1.0 / ln(a1.deg_w), 9) AS DECIMAL(28,9))
+                            ELSE CAST(0 AS DECIMAL(28,9)) END AS aa_term,
+                       CAST(round(1.0 / a1.deg_w, 9) AS DECIMAL(28,9)) AS ra_term
+                FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.nbr < a2.nbr
+            ),
+            pairs AS MATERIALIZED (
+                SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                       CAST(sum(aa_term) AS DOUBLE) AS aa_raw,
+                       CAST(sum(ra_term) AS DOUBLE) AS ra_raw
+                FROM wedges GROUP BY u, v
+            ),
+            newpairs AS MATERIALIZED (
+                SELECT p.* FROM pairs p
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM und WHERE und.u = p.u AND und.v = p.v
+                )
+            )
+            SELECT p.u, p.v, p.cn,
+                   round(CAST(p.cn AS DOUBLE) / (du.deg + dv.deg - p.cn), 6)
+                     AS jaccard,
+                   round(aa_raw, 6) AS adamic_adar,
+                   round(ra_raw, 6) AS resource_alloc,
+                   CAST(du.deg * dv.deg AS BIGINT) AS pref_attach
+            FROM newpairs p
+            JOIN deg du ON du.x = p.u
+            JOIN deg dv ON dv.x = p.v
+        """,
         "g13_katz_3iter": f"""
             WITH e AS MATERIALIZED ({_EDGES_SQL}),
             nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),

@@ -107,6 +107,7 @@ def pagerank(
     broadcast_ranks: bool | None = None,
     check_every: int = 1,
     personalization: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run PageRank over an edge table (src BIGINT, dst BIGINT).
 
@@ -134,6 +135,14 @@ def pagerank(
     the update as a lazy broadcast 1-row aggregate of the current vector.
     With k > 1, per-iteration metrics carry delta/Σrank only on check
     iterations.
+
+    weight_col: optional edge-weight column on `edges` (weighted PageRank —
+    anchor-text/link-frequency weighting): each edge contributes
+    rank(src)·w/Σw(src) instead of rank(src)/outdeg(src). Weights must be
+    ≥ 0; zero-weight edges are dropped, and a source whose weights are ALL
+    zero is dangling (exactly like a source with no out-edges). Costs one
+    extra O(m) validation pass at build time (never per-iteration); the
+    default None keeps the reference's unweighted recurrence bit-identical.
 
     personalization: optional (id, weight) teleport distribution (normalized
     to Σ=1 internally; missing ids get weight 0). Standard personalized
@@ -174,10 +183,21 @@ def pagerank(
         # decide before building adj: broadcast path wants dst-partitioning
         n_probe = nodes.count()
         broadcast_ranks = n_probe <= BROADCAST_NODE_LIMIT
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if weight_col is None:
+        contrib_edges = edges
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        edge_w = F.lit(1.0) / F.col("deg")
+    else:
+        wc = F.col(weight_col).cast("double")
+        bad = edges.filter(wc < 0).limit(1).count()
+        if bad:
+            raise ValueError(f"negative values in weight column {weight_col!r}")
+        contrib_edges = edges.filter(wc > 0)
+        out_deg = contrib_edges.groupBy("src").agg(F.sum(wc).alias("deg"))
+        edge_w = wc / F.col("deg")
     adj = (
-        edges.join(out_deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        contrib_edges.join(out_deg, "src")
+        .select("src", "dst", edge_w.alias("w"))
         # broadcast gather: partition by dst so join→partial-agg→final-agg is
         # one exchange-free stage; shuffle gather: partition by src so only
         # the small rank vector shuffles into the join

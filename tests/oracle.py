@@ -308,3 +308,33 @@ def scc_py(edges, nodes=None):
                 for w in members:
                     comp[w] = label
     return comp
+
+
+def pagerank_weighted_numpy(edges_w, n=None, alpha=0.85, tol=1e-8, max_iter=100):
+    """Weighted PageRank oracle: edges_w = (src, dst, weight) triples,
+    weight >= 0. Each positive-weight edge contributes
+    rank(src)·w/Σw(src); sources whose weights are all zero are dangling.
+    Same recurrence/convergence/normalization as pagerank_numpy."""
+    edges_w = [(u, v, float(w)) for u, v, w in edges_w]
+    if n is None:
+        n = max(max(u, v) for u, v, _ in edges_w) + 1
+    wsum = np.zeros(n, dtype=np.float64)
+    for u, _, w in edges_w:
+        wsum[u] += w
+    is_dangling = wsum == 0.0
+    r = np.full(n, 1.0 / n)
+    it = 0
+    converged = False
+    for it in range(max_iter):
+        dm = r[is_dangling].sum()
+        g = np.zeros(n)
+        for u, v, w in edges_w:
+            if w > 0:
+                g[v] += r[u] * (w / wsum[u])
+        r_new = alpha * (g + dm / n) + (1.0 - alpha) / n
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        if delta < tol:
+            converged = True
+            break
+    return r / r.sum(), it + 1, converged

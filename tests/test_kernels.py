@@ -631,3 +631,132 @@ def test_katz_rejects_bad_beta(spark):
 
     with pytest.raises(ValueError):
         katz_centrality(_edges_df(spark, [(0, 1)]), beta=1.0)
+
+
+# ---------------------------------------------------------------------------
+# link prediction (neighbor-overlap scores)
+# ---------------------------------------------------------------------------
+
+def _linkpred_py(edges, exclude_existing=True, max_wedge_degree=None, min_common=1):
+    """Brute-force oracle replicating the kernel's float policy exactly:
+    per-wedge AA/RA terms rounded to 9 dp, summed as scaled integers
+    (the exact-decimal sum), final scores rounded to 6 dp."""
+    from math import log
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    deg = {x: len(s) for x, s in nbrs.items()}
+    cnm, aam, ram = {}, {}, {}
+    for w, ns in nbrs.items():
+        if max_wedge_degree is not None and deg[w] > max_wedge_degree:
+            continue
+        aa9 = round(1.0 / log(deg[w]), 9) if deg[w] > 1 else 0.0
+        ra9 = round(1.0 / deg[w], 9)
+        sn = sorted(ns)
+        for i in range(len(sn)):
+            for j in range(i + 1, len(sn)):
+                p = (sn[i], sn[j])
+                cnm[p] = cnm.get(p, 0) + 1
+                aam[p] = aam.get(p, 0) + round(aa9 * 1e9)
+                ram[p] = ram.get(p, 0) + round(ra9 * 1e9)
+    res = {}
+    for p, c in cnm.items():
+        if c < min_common or (exclude_existing and p in und):
+            continue
+        u, v = p
+        res[p] = (
+            c,
+            round(c / (deg[u] + deg[v] - c), 6),
+            round(aam[p] / 1e9, 6),
+            round(ram[p] / 1e9, 6),
+            deg[u] * deg[v],
+        )
+    return res
+
+
+def _collect_linkpred(df):
+    return {
+        (r.u, r.v): (r.cn, r.jaccard, r.adamic_adar, r.resource_alloc, r.pref_attach)
+        for r in df.collect()
+    }
+
+
+def _assert_linkpred_equal(got, exp):
+    assert set(got) == set(exp)
+    for p, (cn, jac, aa, ra, pa) in exp.items():
+        g = got[p]
+        assert g[0] == cn and g[4] == pa, p
+        # 6-dp rounded floats; allow a 1-ulp-of-6dp slack for half-up vs
+        # banker's rounding tie disagreements between Spark and Python round
+        assert abs(g[1] - jac) <= 1.000001e-6, p
+        assert abs(g[2] - aa) <= 1.000001e-6, p
+        assert abs(g[3] - ra) <= 1.000001e-6, p
+
+
+def test_linkpred_small_known(spark):
+    from engine.operators.linkpred import link_prediction_scores
+
+    # square 0-1-2-3-0: each diagonal pair shares exactly its 2 neighbors
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = _collect_linkpred(link_prediction_scores(_edges_df(spark, edges)))
+    assert set(got) == {(0, 2), (1, 3)}
+    cn, jac, aa, ra, pa = got[(0, 2)]
+    assert cn == 2 and pa == 4
+    assert jac == 1.0  # union == intersection (both have exactly {1, 3})
+    assert abs(aa - 2 * round(1 / __import__("math").log(2), 9)) < 1e-6
+    assert ra == 1.0  # 2 * 1/2
+
+
+def test_linkpred_random_vs_oracle(spark):
+    from engine.operators.linkpred import link_prediction_scores
+
+    edges = _sparse_graph(n=120, m=420, seed=11)
+    got = _collect_linkpred(link_prediction_scores(_edges_df(spark, edges)))
+    _assert_linkpred_equal(got, _linkpred_py(edges))
+
+
+def test_linkpred_include_existing_and_min_common(spark):
+    from engine.operators.linkpred import link_prediction_scores
+
+    edges = _sparse_graph(n=80, m=300, seed=3)
+    got = _collect_linkpred(
+        link_prediction_scores(_edges_df(spark, edges), exclude_existing=False, min_common=2)
+    )
+    _assert_linkpred_equal(got, _linkpred_py(edges, exclude_existing=False, min_common=2))
+
+
+def test_linkpred_degree_cap_and_metrics(spark):
+    from engine.operators.linkpred import link_prediction_scores
+
+    # hub 100 connected to 0..9 (degree 10); plus a small chain 0-1-2 so
+    # capped scores still flow through low-degree intermediaries
+    edges = [(100, i) for i in range(10)] + [(0, 1), (1, 2)]
+    m = {}
+    got = _collect_linkpred(
+        link_prediction_scores(_edges_df(spark, edges), max_wedge_degree=5, metrics=m)
+    )
+    assert m["linkpred_intermediaries_capped"] == 1  # only the hub
+    assert m["linkpred_wedges_dropped"] == 45  # C(10, 2)
+    exp = _linkpred_py(edges, max_wedge_degree=5)
+    _assert_linkpred_equal(got, exp)
+    # the hub still receives scores via its other (uncapped) neighbors:
+    # wedge 1-{100,0,2} exists through vertex 1 (degree 3 <= 5) — visible
+    # once existing edges aren't excluded
+    got_all = _collect_linkpred(
+        link_prediction_scores(
+            _edges_df(spark, edges), max_wedge_degree=5, exclude_existing=False
+        )
+    )
+    assert (0, 100) in got_all and (2, 100) in got_all
+
+
+def test_linkpred_topk_deterministic(spark):
+    from engine.operators.linkpred import link_prediction_topk
+
+    edges = _sparse_graph(n=120, m=420, seed=11)
+    a = [(r.u, r.v) for r in link_prediction_topk(_edges_df(spark, edges), k=15).collect()]
+    b = [(r.u, r.v) for r in link_prediction_topk(_edges_df(spark, edges), k=15).collect()]
+    assert a == b and len(a) == 15

@@ -220,3 +220,72 @@ def test_golden_5k_parity(spark):
     assert [gid for gid, _ in golden] == sorted(got, key=lambda i: (-got[i], i))
     for gid, gscore in golden:
         assert abs(got[gid] - gscore) < 5e-10
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank (weight_col)
+# ---------------------------------------------------------------------------
+
+def _wedges_df(spark, edges_w):
+    return spark.createDataFrame(edges_w, schema="src long, dst long, wt double")
+
+
+def test_weighted_uniform_weights_equal_unweighted(spark):
+    """weight_col with constant weights reduces to the unweighted kernel:
+    w/Σw == 1/outdeg exactly when all weights are equal (IEEE division of
+    equal quantities) — ranks agree to reorder tolerance."""
+    edges = _load_edges(REF_1K)[:3000]
+    plain = pagerank(_edges_df(spark, edges), tol=1e-10, max_iter=30)
+    wdf = _wedges_df(spark, [(u, v, 2.0) for u, v in edges])
+    weighted = pagerank(wdf, tol=1e-10, max_iter=30, weight_col="wt")
+    n = plain.num_nodes
+    assert weighted.num_nodes == n
+    assert np.allclose(_ranks_array(plain, n), _ranks_array(weighted, n), atol=1e-12)
+    assert plain.iterations == weighted.iterations
+
+
+def test_weighted_pagerank_vs_numpy_oracle(spark):
+    from oracle import pagerank_weighted_numpy
+
+    import random
+
+    rng = random.Random(13)
+    edges_w = [
+        (rng.randrange(60), rng.randrange(60), float(rng.randrange(1, 9)))
+        for _ in range(240)
+    ]
+    res = pagerank(_wedges_df(spark, edges_w), tol=1e-10, max_iter=100, weight_col="wt")
+    want, iters, conv = pagerank_weighted_numpy(edges_w, n=res.num_nodes, tol=1e-10)
+    assert conv and res.converged
+    got = _ranks_array(res, res.num_nodes)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_weighted_zero_weight_source_is_dangling(spark):
+    from oracle import pagerank_weighted_numpy
+
+    # node 2's only out-edge has weight 0 -> node 2 is dangling
+    edges_w = [(0, 1, 1.0), (1, 2, 3.0), (2, 0, 0.0), (0, 2, 1.0)]
+    res = pagerank(_wedges_df(spark, edges_w), tol=1e-12, max_iter=100, weight_col="wt")
+    want, _, _ = pagerank_weighted_numpy(edges_w, n=3, tol=1e-12)
+    assert np.allclose(_ranks_array(res, 3), want, atol=1e-12)
+
+
+def test_weighted_negative_weight_raises(spark):
+    with pytest.raises(ValueError, match="negative"):
+        pagerank(_wedges_df(spark, [(0, 1, -1.0)]), max_iter=2, weight_col="wt")
+
+
+def test_weighted_gather_paths_agree(spark):
+    import random
+
+    rng = random.Random(5)
+    edges_w = [
+        (rng.randrange(200), rng.randrange(200), float(rng.randrange(1, 6)))
+        for _ in range(1500)
+    ]
+    df = _wedges_df(spark, edges_w)
+    bc = pagerank(df, tol=1e-10, max_iter=30, weight_col="wt", broadcast_ranks=True)
+    sh = pagerank(df, tol=1e-10, max_iter=30, weight_col="wt", broadcast_ranks=False)
+    n = bc.num_nodes
+    assert np.allclose(_ranks_array(bc, n), _ranks_array(sh, n), atol=1e-12)
