@@ -70,11 +70,18 @@ def link_prediction_scores(
     from the shared-neighbor (intermediary) role; None = no cap (safe only
     when the max degree is known bounded). Capped counts go to `metrics`.
     """
-    und = _undirected_simple(edges)
+    from engine.operators._pins import pin
+
+    # und feeds three consumers (both union branches of sym + the
+    # exclude_existing anti-join) and deg feeds three (the intermediary
+    # filter + both endpoint degree attaches) — pin both or Spark re-runs
+    # the full distinct / degree aggregation once per branch (the
+    # triangles._adjacency pattern; release via pin_scope in long sessions)
+    und = pin(_undirected_simple(edges))
     sym = und.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
         und.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
-    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    deg = pin(sym.groupBy("x").agg(F.count(F.lit(1)).alias("deg")))
 
     # Intermediary table: (w, nbr, deg_w) — the wedge pivot side.
     mid = deg
@@ -101,8 +108,15 @@ def link_prediction_scores(
     # (u, v) of w's neighbors (u < v), one row carrying w's degree. The
     # per-wedge AA/RA terms are rounded to 9 dp here so the exact decimal
     # sum below is engine-portable.
-    adj = sym.join(mid_b.select(F.col("x"), F.col("deg").alias("deg_w")), "x").select(
-        F.col("x").alias("w"), F.col("y").alias("nbr"), "deg_w"
+    # adj is pinned: it feeds both sides of the wedge self-join, which would
+    # otherwise each re-run the sym⋈degree join. (The two sides still
+    # shuffle separately for the sort-merge join — column pruning
+    # specializes their projections, so Spark cannot plan a ReusedExchange
+    # here; the cache bounds the recompute to a columnar scan.)
+    adj = pin(
+        sym.join(mid_b.select(F.col("x"), F.col("deg").alias("deg_w")), "x").select(
+            F.col("x").alias("w"), F.col("y").alias("nbr"), "deg_w"
+        )
     )
     a1 = adj.select(F.col("w"), F.col("nbr").alias("u"), "deg_w")
     a2 = adj.select(F.col("w"), F.col("nbr").alias("v"))
