@@ -708,6 +708,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return link_prediction_scores(e)
 
+    def g15_sssp_4round(spark, sf):
+        # oracle-gated weighted SSSP (frontier Bellman-Ford) pinned to 4
+        # relaxation rounds — by the Bellman-Ford invariant the result is
+        # the exact min weight over paths of <= 4 edges, which unrolls into
+        # SQL (the kcore_fixed_rounds technique). Weights = l_quantity
+        # (integral doubles: every path sum and min is exact, so the hash
+        # is engine-portable without rounding tricks).
+        from engine.operators.sssp import sssp_fixed_rounds
+
+        li = _t(spark, sf, "lineitem")
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+            F.col("l_quantity").cast("double").alias("wt"),
+        )
+        src = spark.range(0, 1).select(F.col("id"))
+        out = sssp_fixed_rounds(e, src, rounds=4, weight_col="wt")
+        return out.select("id", F.round("dist", 6).alias("dist"))
+
     def g12_random_walks(spark, sf):
         # deterministic walk-corpus generation (DeepWalk/node2vec input):
         # one 4-step walk per vertex; the md5 neighbor choice is portable,
@@ -827,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_katz_3iter": g13_katz_3iter,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
+        "g15_sssp_4round": g15_sssp_4round,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1099,6 +1119,29 @@ def oracle_sql() -> dict[str, str]:
         "j4_salted_gather_revenue": revenue_sql,
         "i1b_pagerank_3iter": pagerank3_sql,
         "i1c_wpagerank_3iter": wpagerank3_sql,
+        # weighted SSSP unrolled to 4 Bellman-Ford rounds: d_k(v) = min over
+        # (d_{k-1}(v), min_{u->v} d_{k-1}(u) + w) — exact integral-double
+        # path sums, so min/hash are engine-exact
+        "g15_sssp_4round": f"""
+            WITH e AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst,
+                       CAST(l_quantity AS DOUBLE) AS wt
+                FROM lineitem
+            ),
+            d0 AS MATERIALIZED (
+                SELECT CAST(0 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist),
+            {','.join(
+                f'''d{k} AS MATERIALIZED (
+                  SELECT id, min(dist) AS dist FROM (
+                    SELECT id, dist FROM d{k - 1}
+                    UNION ALL
+                    SELECT e.dst AS id, d.dist + e.wt AS dist
+                    FROM e JOIN d{k - 1} d ON d.id = e.src
+                  ) GROUP BY id
+                )''' for k in range(1, 5)
+            )}
+            SELECT id, CAST(round(dist, 6) AS DOUBLE) AS dist FROM d4
+        """,
         "i2b_ppr_3iter": ppr3_sql,
         "g6b_hits_2iter": hits2_sql,
         "f8_semi_join": """

@@ -760,3 +760,92 @@ def test_linkpred_topk_deterministic(spark):
     a = [(r.u, r.v) for r in link_prediction_topk(_edges_df(spark, edges), k=15).collect()]
     b = [(r.u, r.v) for r in link_prediction_topk(_edges_df(spark, edges), k=15).collect()]
     assert a == b and len(a) == 15
+
+
+# ---------------------------------------------------------------------------
+# weighted SSSP (frontier Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def _sssp_py(edges_w, sources, max_edges=None):
+    """Bounded-hop oracle: exact min path weight over paths of <= max_edges
+    edges (None = converged/unbounded), replicating left-to-right IEEE
+    addition along each path."""
+    dist = {s: 0.0 for s in sources}
+    frontier = dict(dist)
+    rounds = 0
+    while frontier and (max_edges is None or rounds < max_edges):
+        rounds += 1
+        cand = {}
+        for u, v, w in edges_w:
+            if u in frontier:
+                d = frontier[u] + w
+                if d < cand.get(v, float("inf")):
+                    cand[v] = d
+        frontier = {
+            v: d for v, d in cand.items() if d < dist.get(v, float("inf"))
+        }
+        dist.update(frontier)
+    return dist
+
+
+def _wedges_df(spark, edges_w):
+    return spark.createDataFrame(edges_w, schema="src long, dst long, wt double")
+
+
+def _sources_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], schema="id long")
+
+
+def test_sssp_small_known(spark):
+    from engine.operators.sssp import sssp
+
+    # 0 ->(5) 1 ->(1) 2 ; 0 ->(3) 2 ; 3 unreachable island
+    ew = [(0, 1, 5.0), (1, 2, 1.0), (0, 2, 3.0), (3, 3, 1.0)]
+    got = {r.id: r.dist for r in
+           sssp(_wedges_df(spark, ew), _sources_df(spark, [0])).collect()}
+    assert got == {0: 0.0, 1: 5.0, 2: 3.0}  # 3 absent (unreachable)
+
+
+def test_sssp_random_vs_oracle(spark):
+    from engine.operators.sssp import sssp
+
+    rng = random.Random(23)
+    ew = [
+        (rng.randrange(150), rng.randrange(150), float(rng.randrange(1, 20)))
+        for _ in range(700)
+    ]
+    got = {r.id: r.dist for r in
+           sssp(_wedges_df(spark, ew), _sources_df(spark, [0, 7])).collect()}
+    assert got == _sssp_py(ew, [0, 7])
+
+
+def test_sssp_fixed_rounds_prefix_semantics(spark):
+    from engine.operators.sssp import sssp_fixed_rounds
+
+    rng = random.Random(29)
+    ew = [
+        (rng.randrange(100), rng.randrange(100), float(rng.randrange(1, 9)))
+        for _ in range(400)
+    ]
+    for k in (1, 2, 4):
+        got = {r.id: r.dist for r in
+               sssp_fixed_rounds(_wedges_df(spark, ew), _sources_df(spark, [0]), k).collect()}
+        assert got == _sssp_py(ew, [0], max_edges=k), k
+
+
+def test_sssp_zero_weight_edges_ok(spark):
+    from engine.operators.sssp import sssp
+
+    ew = [(0, 1, 0.0), (1, 2, 2.0)]
+    got = {r.id: r.dist for r in
+           sssp(_wedges_df(spark, ew), _sources_df(spark, [0])).collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 2.0}
+
+
+def test_sssp_negative_weight_raises(spark):
+    import pytest
+
+    from engine.operators.sssp import sssp
+
+    with pytest.raises(ValueError, match="negative"):
+        sssp(_wedges_df(spark, [(0, 1, -2.0)]), _sources_df(spark, [0]))
