@@ -635,6 +635,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return neighborhood_exact(e, 3)
 
+    def g16_harmonic_3hop(spark, sf):
+        # exact bounded harmonic centrality H(v) = Σ 1/d(v,u), d ≤ 3, on
+        # the sparse bowtie subgraph (same as g9/g10) — the geometric
+        # centrality HyperBall was built for (Boldi & Vigna 2013 §4).
+        # Exact all-sources BFS path; 1/d contributions summed as
+        # decimal(18,6) (order-independent, bit-identical across engines).
+        # The 100 TB path is harmonic_hyperball (pytest-gated: xxhash64
+        # registers have no portable SQL).
+        from engine.operators.neighborhood import harmonic_exact
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return harmonic_exact(e, 3)
+
     def g11_hyperball_nf(spark, sf):
         # HyperBall HLL-sketch estimate of the same curve over the full
         # derived graph — the sketch path that replaces pair materialization
@@ -772,7 +789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unrolled-SQL oracles; and a11_distinct_suppliers_per_part (a
     # countDistinct whose document-frequency stage the in-window
     # tfidf_postings gates end-to-end) to seat g10_neighborhood_3hop, the
-    # exact neighborhood-function curve.
+    # exact neighborhood-function curve; and u2_except (EXCEPT = distinct +
+    # anti-join — the in-window j5_anti_join and a6_distinct_pairs gate both
+    # halves) to seat g16_harmonic_3hop, the exact bounded harmonic
+    # centrality whose sketch sibling is the HyperBall harmonic path.
     return {
         "a1_out_degree": a1_out_degree,
         "a2_dangling_nodes": a2_dangling_nodes,
@@ -792,7 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_topk_revenue": t1_topk_revenue,
         "g7_kcore_4round": g7_kcore_4round,
         "t6_rank_full": t6_rank_full,
-        "u2_except": u2_except,
+        "g16_harmonic_3hop": g16_harmonic_3hop,
         "g8_clustering_coeff": g8_clustering_coeff,
         "c1_tokens_distinct": c1_tokens_distinct,
         "g9_scc": g9_scc,
@@ -832,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # portable SQL), each exact-gated in pytest (NumPy/union-find/
         # byte-parity oracles).
         "p1_extraction_pipeline": p1_extraction_pipeline,
+        "u2_except": u2_except,
         "j4_gather_revenue": j4_gather_revenue,
         "a2b_customers_without_orders": a2b_customers_without_orders,
         "c6_math_scalars": c6_math_scalars,
@@ -1683,6 +1704,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT h::BIGINT AS h,
                    (SELECT count(*) FROM md WHERE md.d <= hs.h)::BIGINT AS pairs
             FROM hs
+        """,
+        # exact bounded harmonic centrality: same min-distance closure as
+        # g10, aggregated per source as Σ 1/d with the exact decimal-sum
+        # float policy (1/d rounds to 6 dp identically in both engines —
+        # d ∈ {1,2,3} never lands on a rounding tie)
+        "g16_harmonic_3hop": """
+            WITH RECURSIVE
+            eraw AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM eraw UNION ALL SELECT dst AS id FROM eraw)
+            ),
+            walk(a, b, d) AS (
+                SELECT id, id, 0 FROM nodes
+                UNION
+                SELECT w.a, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.b
+                WHERE w.d < 3
+            ),
+            md AS MATERIALIZED (SELECT a, b, min(d) AS d FROM walk GROUP BY a, b),
+            contrib AS (
+                SELECT a AS id,
+                       CAST(sum(CAST(1.0 / d AS DECIMAL(18,6))) AS DOUBLE) AS harmonic
+                FROM md WHERE d > 0 GROUP BY a
+            )
+            SELECT n.id, coalesce(c.harmonic, 0.0) AS harmonic
+            FROM nodes n LEFT JOIN contrib c ON c.id = n.id
         """,
         "a16_degree_stats": f"""
             WITH deg AS (

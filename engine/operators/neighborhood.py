@@ -184,6 +184,174 @@ def neighborhood_hyperball(
     return spark.createDataFrame(out, "h bigint, pairs double")
 
 
+# --- harmonic centrality ----------------------------------------------------
+
+
+def harmonic_exact(
+    edges: DataFrame, max_h: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Outgoing harmonic centrality bounded at max_h hops:
+    H(v) = Σ_{u : 0 < d(v,u) ≤ max_h} 1/d(v,u). One row per vertex,
+    (id BIGINT, harmonic DOUBLE), vertices reaching nothing get 0.0.
+
+    This is the VALIDATION path (exact distances via all-sources frontier
+    BFS over the pair set — O(reachable pairs) state, small-scale / sparse
+    subgraphs only). The 100 TB path is `harmonic_hyperball`. The 1/d
+    contributions are summed as decimal(18,6) so the result is
+    order-independent and bit-identical across engines (the repo's exact
+    decimal-sum float policy)."""
+    spark = edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = _ckpt(
+        edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct(),
+        P,
+        "src",
+    )
+    nodes = _nodes(edges)
+    visited = _ckpt(
+        nodes.select(F.col("id").alias("a"), F.col("id").alias("b"), F.lit(0).alias("d")),
+        P,
+        "b",
+    )
+    frontier = visited
+    for h in range(1, max_h + 1):
+        cand = (
+            frontier.join(e.select(F.col("src").alias("b"), "dst"), "b")
+            .select("a", F.col("dst").alias("b"))
+            .distinct()
+        )
+        new = cand.join(visited.select("a", "b"), ["a", "b"], "left_anti").select(
+            "a", "b", F.lit(h).alias("d")
+        )
+        frontier = _ckpt(new, P, "b")
+        visited = _ckpt(visited.union(frontier), P, "b")
+    contrib = (
+        visited.filter(F.col("d") > 0)
+        .groupBy(F.col("a").alias("id"))
+        .agg(
+            F.sum((F.lit(1.0) / F.col("d")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("harmonic")
+        )
+    )
+    return nodes.join(contrib, "id", "left").select(
+        "id", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
+    )
+
+
+def harmonic_hyperball(
+    edges: DataFrame,
+    max_h: int,
+    b: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """HyperBall estimate of bounded harmonic centrality — the measure
+    HyperBall was built for (Boldi & Vigna 2013, §4): per vertex,
+    H(v) ≈ Σ_{h=1..max_h} (|B(v,h)| − |B(v,h−1)|)/h using the per-vertex
+    HLL ball-size estimates. Returns (id, harmonic DOUBLE).
+
+    Same register-per-row state and join+max merge as
+    `neighborhood_hyperball` — O(m·|E|) shuffled rows per round, no pair
+    materialization, so it scales like a PageRank iteration. Ball-size
+    deltas are clamped at 0 (the HLL estimator can dip when crossing the
+    linear-counting boundary). Deterministic (xxhash64 registers) but
+    engine-specific — pytest-gated against `harmonic_exact`."""
+    if not 4 <= b <= 12:
+        raise ValueError(f"b must be in [4, 12], got {b}")
+    spark = edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    m = 1 << b
+
+    e = _ckpt(
+        edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct(),
+        P,
+        "src",
+    )
+    nodes = _nodes(edges)
+
+    W = 64 - b
+    h64 = F.xxhash64(F.col("id"))
+    idx = F.pmod(h64, F.lit(m)).cast("int")
+    rest = F.shiftrightunsigned(h64, b)
+    bitlen = F.length(F.bin(rest))
+    rank = (
+        F.when(rest == F.lit(0), F.lit(W + 1))
+        .otherwise(F.lit(W + 1) - bitlen)
+        .cast("int")
+    )
+    sketch = _ckpt(
+        nodes.select("id", idx.alias("_i"), rank.alias("_r"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("reg"),
+            "_i",
+            "_r",
+        )
+        .select(
+            "id",
+            "reg",
+            F.when(F.col("reg") == F.col("_i"), F.col("_r"))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("val"),
+        ),
+        P,
+        "id",
+    )
+
+    def per_vertex_est(sk: DataFrame) -> DataFrame:
+        per = sk.groupBy("id").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("val"))).alias("z"),
+            F.sum(F.when(F.col("val") == 0, 1).otherwise(0)).alias("zeros"),
+        )
+        am = _alpha(m) * m * m
+        raw = F.lit(am) / F.col("z")
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), lc
+        ).otherwise(raw)
+        return per.select("id", est.alias("est"))
+
+    # running state: (id, prev ball estimate, accumulated harmonic)
+    acc = _ckpt(
+        per_vertex_est(sketch).select(
+            "id", F.col("est").alias("prev"), F.lit(0.0).alias("harmonic")
+        ),
+        P,
+        "id",
+    )
+    for h in range(1, max_h + 1):
+        nbr = (
+            e.join(sketch.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "reg")
+            .agg(F.max("val").alias("nval"))
+        )
+        sketch = _ckpt(
+            sketch.join(nbr, ["id", "reg"], "left").select(
+                "id",
+                "reg",
+                F.greatest("val", F.coalesce("nval", F.lit(0))).alias("val"),
+            ),
+            P,
+            "id",
+        )
+        est_h = per_vertex_est(sketch)
+        acc = _ckpt(
+            acc.join(est_h, "id").select(
+                "id",
+                F.col("est").alias("prev"),
+                (
+                    F.col("harmonic")
+                    + F.greatest(F.col("est") - F.col("prev"), F.lit(0.0))
+                    / F.lit(float(h))
+                ).alias("harmonic"),
+            ),
+            P,
+            "id",
+        )
+    return acc.select("id", "harmonic")
+
+
 def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
     """Smallest h where N(h) ≥ q·N(max_h), linearly interpolated between
     h-1 and h (the standard definition used with HyperBall/ANF curves)."""

@@ -583,6 +583,79 @@ def test_hyperball_tracks_exact_and_is_deterministic(spark):
         assert abs(hb1[h] - hb2[h]) <= 1e-9 * abs(hb1[h])
 
 
+def _harmonic_py(edges, max_h):
+    """Exact bounded harmonic per node, micro-units (integer 1e6/d sums —
+    the same values the engine's decimal(18,6) policy produces)."""
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        nodes |= {u, v}
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+    out = {}
+    for s in nodes:
+        dist = {s: 0}
+        frontier = [s]
+        for h in range(1, max_h + 1):
+            nxt = [w for b in frontier for w in adj.get(b, ()) if w not in dist]
+            frontier = []
+            for w in nxt:
+                if w not in dist:
+                    dist[w] = h
+                    frontier.append(w)
+        micro = sum(round(1e6 / d) for d in dist.values() if d > 0)
+        out[s] = micro / 1e6
+    return out
+
+
+def test_harmonic_exact_vs_python_oracle(spark):
+    from engine.operators.neighborhood import harmonic_exact
+
+    edges = _sparse_graph(n=70, m=180, seed=9)
+    got = {r.id: r.harmonic for r in harmonic_exact(_edges_df(spark, edges), 3).collect()}
+    want = _harmonic_py(edges, 3)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_harmonic_chain_values(spark):
+    from engine.operators.neighborhood import harmonic_exact
+
+    # 0→1→2→3: H(0)=1+1/2+1/3 (decimal-6: 1.833333), H(3)=0
+    got = {
+        r.id: r.harmonic
+        for r in harmonic_exact(_edges_df(spark, [(0, 1), (1, 2), (2, 3)]), 3).collect()
+    }
+    assert got == {0: 1.833333, 1: 1.5, 2: 1.0, 3: 0.0}
+
+
+def test_harmonic_hyperball_tracks_exact(spark):
+    from engine.operators.neighborhood import harmonic_exact, harmonic_hyperball
+
+    edges = _sparse_graph(n=60, m=150, seed=5)
+    df = _edges_df(spark, edges)
+    want = {r.id: r.harmonic for r in harmonic_exact(df, 3).collect()}
+    got = {r.id: r.harmonic for r in harmonic_hyperball(df, 3, b=10).collect()}
+    assert set(got) == set(want)
+    # HLL with m=1024 registers: ~3% typical relative error per ball; the
+    # per-vertex harmonic is a difference of ball estimates so allow more —
+    # gate the aggregate tightly and the per-vertex error loosely
+    tot_w = sum(want.values())
+    tot_g = sum(got.values())
+    assert abs(tot_g - tot_w) / tot_w < 0.10, (tot_g, tot_w)
+    errs = [abs(got[v] - want[v]) / max(want[v], 1.0) for v in want]
+    assert sum(errs) / len(errs) < 0.15, sum(errs) / len(errs)
+    # deterministic xxhash64 registers: partitioning-independent to
+    # float-sum reordering
+    got2 = {
+        r.id: r.harmonic
+        for r in harmonic_hyperball(df.repartition(7), 3, b=10).collect()
+    }
+    for v in got:
+        assert abs(got[v] - got2[v]) <= 1e-9 * max(abs(got[v]), 1.0)
+
+
 def test_katz_vs_numpy_oracle(spark):
     import numpy as np
 
