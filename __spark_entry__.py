@@ -652,6 +652,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return harmonic_exact(e, 3)
 
+    def g17_domain_rollup(spark, sf):
+        # host-level graph rollup — the Common Crawl host-graph artifact:
+        # page edges get deterministic synthetic URLs (scheme + shard host
+        # + path, mixed case to exercise normalization), then
+        # graph.domain_graph extracts hosts JVM-side (parse_url HOST,
+        # lowercased) and rolls up to (src_host, dst_host, weight). The
+        # oracle derives the host independently via regexp on the same
+        # constructed URL strings.
+        e = _edges(spark, sf)
+        urls = e.select(
+            F.concat(
+                F.lit("https://S"),
+                (F.col("src") % 13).cast("string"),
+                F.lit(".Example.org/p/"),
+                F.col("src").cast("string"),
+            ).alias("src"),
+            F.concat(
+                F.lit("http://s"),
+                (F.col("dst") % 13).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("dst").cast("string"),
+            ).alias("dst"),
+        )
+        return graph.domain_graph(urls)
+
     def g11_hyperball_nf(spark, sf):
         # HyperBall HLL-sketch estimate of the same curve over the full
         # derived graph — the sketch path that replaces pair materialization
@@ -792,7 +817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact neighborhood-function curve; and u2_except (EXCEPT = distinct +
     # anti-join — the in-window j5_anti_join and a6_distinct_pairs gate both
     # halves) to seat g16_harmonic_3hop, the exact bounded harmonic
-    # centrality whose sketch sibling is the HyperBall harmonic path.
+    # centrality whose sketch sibling is the HyperBall harmonic path; and
+    # g4_triangles_per_vertex (a strict sub-computation of the in-window
+    # g8_clustering_coeff, whose output carries the per-vertex triangle
+    # count) to seat g17_domain_rollup, the host-level graph rollup.
     return {
         "a1_out_degree": a1_out_degree,
         "a2_dangling_nodes": a2_dangling_nodes,
@@ -831,7 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_session_counts": w2_session_counts,
         "i2b_ppr_3iter": i2b_ppr_3iter,
         "g3_triangle_count": g3_triangle_count,
-        "g4_triangles_per_vertex": g4_triangles_per_vertex,
+        "g17_domain_rollup": g17_domain_rollup,
         "g5_bfs_levels": g5_bfs_levels,
         "c2_ws_normalize": c2_ws_normalize,
         "c8_format_topk": c8_format_topk,
@@ -853,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-parity oracles).
         "p1_extraction_pipeline": p1_extraction_pipeline,
         "u2_except": u2_except,
+        "g4_triangles_per_vertex": g4_triangles_per_vertex,
         "j4_gather_revenue": j4_gather_revenue,
         "a2b_customers_without_orders": a2b_customers_without_orders,
         "c6_math_scalars": c6_math_scalars,
@@ -1704,6 +1733,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT h::BIGINT AS h,
                    (SELECT count(*) FROM md WHERE md.d <= hs.h)::BIGINT AS pairs
             FROM hs
+        """,
+        # host-level rollup: the oracle constructs the same synthetic URLs
+        # and derives the host independently (regexp vs the engine's
+        # parse_url) — semantic parity of the extraction, not shared code
+        "g17_domain_rollup": f"""
+            WITH e AS ({_EDGES_SQL}),
+            u AS (
+                SELECT 'https://S' || (src % 13) || '.Example.org/p/' || src AS src_url,
+                       'http://s' || (dst % 13) || '.example.org/p/' || dst AS dst_url
+                FROM e
+            )
+            SELECT lower(regexp_extract(src_url, '^[a-z]+://([^/]+)', 1)) AS src_host,
+                   lower(regexp_extract(dst_url, '^[a-z]+://([^/]+)', 1)) AS dst_host,
+                   count(*) AS weight
+            FROM u GROUP BY 1, 2
         """,
         # exact bounded harmonic centrality: same min-distance closure as
         # g10, aggregated per source as Σ 1/d with the exact decimal-sum

@@ -656,6 +656,68 @@ def test_harmonic_hyperball_tracks_exact(spark):
         assert abs(got[v] - got2[v]) <= 1e-9 * max(abs(got[v]), 1.0)
 
 
+# --------------------------------------------------------------------------
+# Domain rollup / host-level PageRank
+# --------------------------------------------------------------------------
+
+def test_domain_graph_rollup(spark):
+    from engine.operators.graph import domain_graph
+
+    rows = [
+        ("https://A.example.org/1", "http://b.example.org/x"),
+        ("https://a.EXAMPLE.org/2", "http://b.example.org/y"),  # same host pair
+        ("https://a.example.org/3", "https://a.example.org/4"),  # intra
+        ("not-a-url", "http://b.example.org/z"),  # no host on src -> dropped
+    ]
+    df = spark.createDataFrame(rows, schema="src string, dst string")
+    got = {
+        (r.src_host, r.dst_host): r.weight for r in domain_graph(df).collect()
+    }
+    assert got == {
+        ("a.example.org", "b.example.org"): 2,
+        ("a.example.org", "a.example.org"): 1,
+    }
+    intra_dropped = {
+        (r.src_host, r.dst_host): r.weight
+        for r in domain_graph(df, drop_intra=True).collect()
+    }
+    assert intra_dropped == {("a.example.org", "b.example.org"): 2}
+
+
+def test_host_pagerank_vs_numpy_oracle(spark):
+    import numpy as np
+
+    from engine.operators.graph import host_pagerank
+    from oracle import pagerank_weighted_numpy
+
+    rng = random.Random(31)
+    # page-level edges between 8 hosts; multiplicities create the weights
+    url_edges = [
+        (
+            f"https://h{rng.randrange(8)}.example.org/p{rng.randrange(40)}",
+            f"https://h{rng.randrange(8)}.example.org/p{rng.randrange(40)}",
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(url_edges, schema="src string, dst string")
+    got = {r.host: r.rank for r in host_pagerank(df, tol=1e-10, max_iter=100).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # python rollup (drop_intra=True mirrors host_pagerank's default)
+    w = {}
+    for s, d in url_edges:
+        hs, hd = s.split("/")[2], d.split("/")[2]
+        if hs != hd:
+            w[(hs, hd)] = w.get((hs, hd), 0) + 1
+    hosts = sorted({h for e in w for h in e})
+    pos = {h: i for i, h in enumerate(hosts)}
+    edges_w = [(pos[s], pos[d], float(c)) for (s, d), c in w.items()]
+    want, _, conv = pagerank_weighted_numpy(edges_w, n=len(hosts), tol=1e-10)
+    assert conv
+    for h in hosts:
+        assert abs(got[h] - want[pos[h]]) < 1e-9, h
+
+
 def test_katz_vs_numpy_oracle(spark):
     import numpy as np
 
