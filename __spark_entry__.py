@@ -703,6 +703,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.expr("percentile(deg, 0.99)"), 6).alias("p99"),
         )
 
+    def a17_graph_mixing(spark, sf):
+        # reciprocity + directed out-in degree assortativity (Newman 2003)
+        # — the web-graph mixing profile next to a16's skew profile.
+        # Post-window: validated by check_contract; Pearson corr rounds to
+        # 6 dp identically across engines on this input.
+        return graph.graph_mixing(_edges(spark, sf))
+
     def x6_hash_split(spark, sf):
         # deterministic leak-proof train/val/test assignment by hashed key —
         # map-only (no Exchange), stable under repartitioning/cluster size,
@@ -892,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_stratified_sample": x7_stratified_sample,
         "w3_sliding_window_counts": w3_sliding_window_counts,
         "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
+        "a17_graph_mixing": a17_graph_mixing,
         "g12_random_walks": g12_random_walks,
         "g13_katz_3iter": g13_katz_3iter,
         "g14_link_prediction": g14_link_prediction,
@@ -1733,6 +1741,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT h::BIGINT AS h,
                    (SELECT count(*) FROM md WHERE md.d <= hs.h)::BIGINT AS pairs
             FROM hs
+        """,
+        # reciprocity over the distinct non-loop edge set + Pearson out-in
+        # degree assortativity over raw edges (multiplicities count)
+        "a17_graph_mixing": f"""
+            WITH eraw AS MATERIALIZED ({_EDGES_SQL}),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+            flag AS (
+                SELECT CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS is_recip
+                FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+            ),
+            rcp AS (
+                SELECT count(*) AS m_distinct,
+                       CAST(sum(is_recip) AS BIGINT) AS reciprocal_edges,
+                       round(avg(is_recip), 6) AS reciprocity
+                FROM flag
+            ),
+            od AS (SELECT src, count(*) AS odeg FROM eraw GROUP BY src),
+            idg AS (SELECT dst, count(*) AS ideg FROM eraw GROUP BY dst),
+            a AS (
+                SELECT round(corr(od.odeg, idg.ideg), 6) AS assortativity
+                FROM eraw JOIN od USING (src) JOIN idg USING (dst)
+            )
+            SELECT m_distinct, reciprocal_edges, reciprocity, assortativity
+            FROM rcp, a
         """,
         # host-level rollup: the oracle constructs the same synthetic URLs
         # and derives the host independently (regexp vs the engine's

@@ -195,6 +195,44 @@ def host_pagerank(edges_url: DataFrame, drop_intra: bool = True, **pr_kwargs):
     return res.ranks.join(hosts, "id").select(F.col("url").alias("host"), "rank")
 
 
+def graph_mixing(edges: DataFrame) -> DataFrame:
+    """Reciprocity + directed degree assortativity — the two standard
+    web-graph mixing measures (Newman, "Mixing patterns in networks",
+    2003; Broder et al.'s web measurements report both).
+
+    - reciprocity: over the distinct non-loop edge set E, the fraction of
+      (u,v) ∈ E with (v,u) ∈ E. One self-join on the reversed set.
+    - assortativity: Pearson correlation, over raw edges (multiplicities
+      count, matching the engine's degree convention), of
+      (outdeg(src), indeg(dst)) — the out-in directed variant.
+
+    Everything is partial-agg groupBys + one self-join + two 1-row
+    reduces; the widest shuffle is the degree join back onto edges (the
+    same gather shape as a PageRank iteration). Returns one row:
+    (m_distinct BIGINT, reciprocal_edges BIGINT, reciprocity DOUBLE,
+    assortativity DOUBLE), floats rounded to 6 dp."""
+    e = edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("_r", F.lit(1))
+    flagged = e.join(rev, ["src", "dst"], "left").select(
+        F.coalesce(F.col("_r"), F.lit(0)).alias("is_recip")
+    )
+    recip = flagged.agg(
+        F.count(F.lit(1)).alias("m_distinct"),
+        F.sum("is_recip").cast("long").alias("reciprocal_edges"),
+        F.round(F.avg("is_recip"), 6).alias("reciprocity"),
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("ideg"))
+    assort = (
+        edges.join(outd, "src")
+        .join(ind, "dst")
+        .agg(F.round(F.corr("odeg", "ideg"), 6).alias("assortativity"))
+    )
+    return recip.crossJoin(assort)
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
     """outdeg per source, duplicate edges counted (pagerank_gpu.cu:66-75
     counts every edge occurrence). Map-side partial agg is automatic."""

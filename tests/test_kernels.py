@@ -718,6 +718,35 @@ def test_host_pagerank_vs_numpy_oracle(spark):
         assert abs(got[h] - want[pos[h]]) < 1e-9, h
 
 
+def test_graph_mixing_vs_python_oracle(spark):
+    import math
+
+    from engine.operators.graph import graph_mixing
+
+    edges = _sparse_graph(n=50, m=300, seed=17) + [(1, 2), (2, 1), (3, 3)]
+    row = graph_mixing(_edges_df(spark, edges)).collect()[0]
+
+    eset = {(u, v) for u, v in edges if u != v}
+    recip = sum(1 for (u, v) in eset if (v, u) in eset)
+    assert row.m_distinct == len(eset)
+    assert row.reciprocal_edges == recip
+    assert abs(row.reciprocity - round(recip / len(eset), 6)) < 1e-9
+
+    od, idg = {}, {}
+    for u, v in edges:
+        od[u] = od.get(u, 0) + 1
+        idg[v] = idg.get(v, 0) + 1
+    xs = [od[u] for u, v in edges]
+    ys = [idg[v] for u, v in edges]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    want = cov / math.sqrt(vx * vy)
+    assert abs(row.assortativity - want) < 1e-6, (row.assortativity, want)
+
+
 def test_katz_vs_numpy_oracle(spark):
     import numpy as np
 
