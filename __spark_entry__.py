@@ -435,6 +435,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def g2_label_propagation(spark, sf):
         return label_propagation(_edges(spark, sf), max_iter=10)
 
+    def g18_lp_modularity(spark, sf):
+        # directed Newman modularity of the 10-round LP partition — the
+        # quality score for community detection output; oracle = the g2
+        # unrolled-SQL labeling fed through the same integer-exact Q
+        # arithmetic. Post-window: validated by check_contract.
+        from engine.operators.labelprop import modularity
+
+        e = _edges(spark, sf)
+        return modularity(e, label_propagation(e, max_iter=10))
+
     def sim3_lsh_ann_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         return similarity.lsh_ann_topk(e, k=3).select(
@@ -900,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_sliding_window_counts": w3_sliding_window_counts,
         "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
         "a17_graph_mixing": a17_graph_mixing,
+        "g18_lp_modularity": g18_lp_modularity,
         "g12_random_walks": g12_random_walks,
         "g13_katz_3iter": g13_katz_3iter,
         "g14_link_prediction": g14_link_prediction,
@@ -957,6 +968,34 @@ def oracle_sql() -> dict[str, str]:
         lab0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
         {','.join(lp_parts)}
         SELECT id, label FROM lab10
+    """
+    # modularity of the same 10-round LP labeling: tag each raw edge with
+    # its endpoint labels, then Q = intra/m − Σ_c out_c·in_c / m² — all
+    # integer until the final division (engine twin labelprop.modularity)
+    mod_sql = f"""
+        WITH e AS MATERIALIZED ({_EDGES_SQL}),
+        adj AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM e WHERE src <> dst
+            UNION ALL SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        lab0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+        {','.join(lp_parts)},
+        el AS MATERIALIZED (
+            SELECT ls.label AS ls, ld.label AS ld
+            FROM e JOIN lab10 ls ON ls.id = e.src JOIN lab10 ld ON ld.id = e.dst
+        ),
+        tot AS (
+            SELECT count(*) AS m,
+                   CAST(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+            FROM el
+        ),
+        oc AS (SELECT ls AS label, count(*) AS oc FROM el GROUP BY ls),
+        ic AS (SELECT ld AS label, count(*) AS ic FROM el GROUP BY ld),
+        dp AS (SELECT CAST(sum(oc.oc * ic.ic) AS BIGINT) AS sprod
+               FROM oc JOIN ic USING (label))
+        SELECT m, intra_edges,
+               round(1.0 * intra_edges / m - 1.0 * sprod / m / m, 6) AS modularity
+        FROM tot, dp
     """
     revenue_sql = f"""
         SELECT o_custkey, {dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
@@ -1689,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, min(r) AS label FROM reach GROUP BY id
         """,
         "g2_label_propagation": lp_sql,
+        "g18_lp_modularity": mod_sql,
         # SCC exact-label oracle: directed transitive closure + mutual
         # reachability; label = min id of {{v : u↔v}} ∪ {{u}} — grades the
         # trim/coloring/backward-sweep kernel's exact-match contract on the

@@ -147,3 +147,47 @@ def label_propagation(
     adj.unpersist()
     nodes.unpersist()
     return labels
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Directed Newman modularity of a labeling:
+    Q = intra/m − Σ_c (out_c · in_c)/m², where intra = edges whose
+    endpoints share a label, out_c/in_c = total out-/in-stubs of
+    community c (Newman 2004; Leicht & Newman 2008 directed form).
+    Raw edges count with multiplicity (the engine's degree convention).
+
+    Scores any (id, label) partition — LP, CC, or an external assignment.
+    Plan: two dictionary joins to tag each edge with its endpoint labels
+    (the PageRank gather shape), then one 1-row reduce plus two
+    per-community partial aggs joined on label — all integer arithmetic
+    until the final division, so the 6-dp result is engine-portable.
+
+    Returns one row: (m BIGINT, intra_edges BIGINT, modularity DOUBLE).
+    """
+    lab = labels.select("id", "label")
+    el = (
+        edges.join(lab.select(F.col("id").alias("src"), F.col("label").alias("ls")), "src")
+        .join(lab.select(F.col("id").alias("dst"), F.col("label").alias("ld")), "dst")
+        .select("ls", "ld")
+    )
+    tot = el.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("ls") == F.col("ld"), 1).otherwise(0))
+        .cast("long")
+        .alias("intra_edges"),
+    )
+    oc = el.groupBy(F.col("ls").alias("label")).agg(F.count(F.lit(1)).alias("oc"))
+    ic = el.groupBy(F.col("ld").alias("label")).agg(F.count(F.lit(1)).alias("ic"))
+    dp = (
+        oc.join(ic, "label")
+        .agg(F.sum(F.col("oc") * F.col("ic")).cast("long").alias("sprod"))
+    )
+    return tot.crossJoin(dp).select(
+        "m",
+        "intra_edges",
+        F.round(
+            F.col("intra_edges").cast("double") / F.col("m")
+            - F.col("sprod").cast("double") / F.col("m") / F.col("m"),
+            6,
+        ).alias("modularity"),
+    )

@@ -718,6 +718,41 @@ def test_host_pagerank_vs_numpy_oracle(spark):
         assert abs(got[h] - want[pos[h]]) < 1e-9, h
 
 
+def _modularity_py(edges, lab):
+    m = len(edges)
+    intra = sum(1 for u, v in edges if lab[u] == lab[v])
+    oc, ic = {}, {}
+    for u, v in edges:
+        oc[lab[u]] = oc.get(lab[u], 0) + 1
+        ic[lab[v]] = ic.get(lab[v], 0) + 1
+    sprod = sum(c * ic.get(l, 0) for l, c in oc.items())
+    return round(intra / m - sprod / m / m, 6)
+
+
+def test_modularity_vs_python_oracle(spark):
+    from engine.operators.labelprop import modularity
+
+    # two dense blocks + a few bridges: a good partition scores high
+    rng = random.Random(7)
+    edges = []
+    for lo, hi in ((0, 10), (10, 20)):
+        edges += [
+            (rng.randrange(lo, hi), rng.randrange(lo, hi)) for _ in range(60)
+        ]
+    edges += [(3, 15), (17, 4)]
+    lab_good = {v: 0 if v < 10 else 1 for v in range(20)}
+    lab_df = spark.createDataFrame(list(lab_good.items()), "id long, label long")
+    row = modularity(_edges_df(spark, edges), lab_df).collect()[0]
+    assert row.m == len(edges)
+    assert row.intra_edges == sum(1 for u, v in edges if lab_good[u] == lab_good[v])
+    assert abs(row.modularity - _modularity_py(edges, lab_good)) < 1e-9
+    assert row.modularity > 0.3
+
+    # degenerate single community: Q = intra/m − m·m/m² = 0 exactly
+    lab_one = spark.createDataFrame([(v, 0) for v in range(20)], "id long, label long")
+    assert modularity(_edges_df(spark, edges), lab_one).collect()[0].modularity == 0.0
+
+
 def test_graph_mixing_vs_python_oracle(spark):
     import math
 
