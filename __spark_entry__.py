@@ -435,6 +435,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def g2_label_propagation(spark, sf):
         return label_propagation(_edges(spark, sf), max_iter=10)
 
+    def g20_betweenness_3hop(spark, sf):
+        # bounded-distance betweenness (batched Brandes, Brandes & Pich
+        # 2007): pairs with d(s,t) <= 3 on the sparse bowtie subgraph —
+        # completes the centrality suite (pagerank/hits/katz/harmonic/bc).
+        # Oracle = unrolled σ (path counting) + δ (dependency) rounds over
+        # the same min-distance closure. Post-window: check_contract.
+        from engine.operators.betweenness import betweenness_bounded
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return betweenness_bounded(e, 3)
+
+    def g19_ktruss_3round(spark, sf):
+        # k-truss peeling (k=12: every edge needs >= 10 supporting
+        # triangles) pinned to exactly 3 rounds — at sf0.01 each round
+        # genuinely shrinks (46841 -> 32387 -> 11828 edges). The oracle
+        # unrolls the same 3 support+filter rounds as materialised CTEs.
+        # Post-window: validated by check_contract.
+        from engine.operators.ktruss import ktruss_fixed_rounds
+
+        return ktruss_fixed_rounds(_edges(spark, sf), k=12, rounds=3)
+
     def g18_lp_modularity(spark, sf):
         # directed Newman modularity of the 10-round LP partition — the
         # quality score for community detection output; oracle = the g2
@@ -911,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_distinct_suppliers_per_part": a11_distinct_suppliers_per_part,
         "a17_graph_mixing": a17_graph_mixing,
         "g18_lp_modularity": g18_lp_modularity,
+        "g19_ktruss_3round": g19_ktruss_3round,
+        "g20_betweenness_3hop": g20_betweenness_3hop,
         "g12_random_walks": g12_random_walks,
         "g13_katz_3iter": g13_katz_3iter,
         "g14_link_prediction": g14_link_prediction,
@@ -996,6 +1023,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT m, intra_edges,
                round(1.0 * intra_edges / m - 1.0 * sprod / m / m, 6) AS modularity
         FROM tot, dp
+    """
+    # k-truss peeling UNROLLED to exactly 3 rounds (k=12 → support >= 10):
+    # per round, support(u,v) = |N(u) ∩ N(v)| over the current undirected
+    # simple edge set (one edge ⋈ adjacency ⋈ adjacency group-count), then
+    # filter — engine twin ktruss.py:ktruss_fixed_rounds
+    kt_parts = []
+    for r in range(1, 4):
+        kt_parts.append(f"""adj{r - 1} AS MATERIALIZED (
+          SELECT u AS x, v AS y FROM und{r - 1}
+          UNION ALL SELECT v AS x, u AS y FROM und{r - 1}
+        ), supp{r} AS MATERIALIZED (
+          SELECT t.u, t.v, count(*) AS s
+          FROM und{r - 1} t
+          JOIN adj{r - 1} a ON a.x = t.u
+          JOIN adj{r - 1} b ON b.x = t.v AND b.y = a.y
+          GROUP BY t.u, t.v
+        ), und{r} AS MATERIALIZED (
+          SELECT t.u, t.v FROM und{r - 1} t
+          LEFT JOIN supp{r} s ON s.u = t.u AND s.v = t.v
+          WHERE coalesce(s.s, 0) >= 10
+        )""")
+    ktruss_sql = f"""
+        WITH e AS ({_EDGES_SQL}),
+        und0 AS MATERIALIZED (
+            SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+            FROM e WHERE src <> dst
+        ),
+        {','.join(kt_parts)}
+        SELECT u, v FROM und3
     """
     revenue_sql = f"""
         SELECT o_custkey, {dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
@@ -1729,6 +1785,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "g2_label_propagation": lp_sql,
         "g18_lp_modularity": mod_sql,
+        "g19_ktruss_3round": ktruss_sql,
         # SCC exact-label oracle: directed transitive closure + mutual
         # reachability; label = min id of {{v : u↔v}} ∪ {{u}} — grades the
         # trim/coloring/backward-sweep kernel's exact-match contract on the
@@ -1820,6 +1877,76 @@ def oracle_sql() -> dict[str, str]:
                    lower(regexp_extract(dst_url, '^[a-z]+://([^/]+)', 1)) AS dst_host,
                    count(*) AS weight
             FROM u GROUP BY 1, 2
+        """,
+        # bounded-distance betweenness: σ rounds count shortest paths per
+        # exact level (md closure gives levels), δ rounds accumulate
+        # dependencies backward with the engine's exact float order
+        # (sum((1+δ)/σ_w) · σ_v); level-3 δ is 0 by the distance bound
+        "g20_betweenness_3hop": """
+            WITH RECURSIVE
+            eraw AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM eraw UNION ALL SELECT dst AS id FROM eraw)
+            ),
+            walk(a, b, d) AS (
+                SELECT id, id, 0 FROM nodes
+                UNION
+                SELECT w.a, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.b
+                WHERE w.d < 3
+            ),
+            md AS MATERIALIZED (SELECT a, b, min(d) AS d FROM walk GROUP BY a, b),
+            sig0 AS MATERIALIZED (
+                SELECT id AS a, id AS v, CAST(1 AS BIGINT) AS sig FROM nodes
+            ),
+            sig1 AS MATERIALIZED (
+                SELECT s.a, e.dst AS v, CAST(sum(s.sig) AS BIGINT) AS sig
+                FROM sig0 s JOIN e ON e.src = s.v
+                JOIN md m ON m.a = s.a AND m.b = e.dst
+                WHERE m.d = 1 GROUP BY s.a, e.dst
+            ),
+            sig2 AS MATERIALIZED (
+                SELECT s.a, e.dst AS v, CAST(sum(s.sig) AS BIGINT) AS sig
+                FROM sig1 s JOIN e ON e.src = s.v
+                JOIN md m ON m.a = s.a AND m.b = e.dst
+                WHERE m.d = 2 GROUP BY s.a, e.dst
+            ),
+            sig3 AS MATERIALIZED (
+                SELECT s.a, e.dst AS v, CAST(sum(s.sig) AS BIGINT) AS sig
+                FROM sig2 s JOIN e ON e.src = s.v
+                JOIN md m ON m.a = s.a AND m.b = e.dst
+                WHERE m.d = 3 GROUP BY s.a, e.dst
+            ),
+            del3 AS MATERIALIZED (SELECT a, v, CAST(0.0 AS DOUBLE) AS delta FROM sig3),
+            del2 AS MATERIALIZED (
+                SELECT s.a, s.v, coalesce(t.part, 0.0) * s.sig AS delta
+                FROM sig2 s LEFT JOIN (
+                    SELECT w.a, e.src AS pv, sum((1.0 + dl.delta) / w.sig) AS part
+                    FROM sig3 w
+                    JOIN del3 dl ON dl.a = w.a AND dl.v = w.v
+                    JOIN e ON e.dst = w.v
+                    GROUP BY w.a, e.src
+                ) t ON t.a = s.a AND t.pv = s.v
+            ),
+            del1 AS MATERIALIZED (
+                SELECT s.a, s.v, coalesce(t.part, 0.0) * s.sig AS delta
+                FROM sig1 s LEFT JOIN (
+                    SELECT w.a, e.src AS pv, sum((1.0 + dl.delta) / w.sig) AS part
+                    FROM sig2 w
+                    JOIN del2 dl ON dl.a = w.a AND dl.v = w.v
+                    JOIN e ON e.dst = w.v
+                    GROUP BY w.a, e.src
+                ) t ON t.a = s.a AND t.pv = s.v
+            ),
+            allv AS (
+                SELECT v, delta FROM del1 UNION ALL SELECT v, delta FROM del2
+            )
+            SELECT n.id, round(coalesce(sum(d.delta), 0.0), 6) AS bc
+            FROM nodes n LEFT JOIN allv d ON d.v = n.id GROUP BY n.id
         """,
         # exact bounded harmonic centrality: same min-distance closure as
         # g10, aggregated per source as Σ 1/d with the exact decimal-sum

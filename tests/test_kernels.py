@@ -753,6 +753,151 @@ def test_modularity_vs_python_oracle(spark):
     assert modularity(_edges_df(spark, edges), lab_one).collect()[0].modularity == 0.0
 
 
+# --------------------------------------------------------------------------
+# Bounded-distance betweenness (batched Brandes)
+# --------------------------------------------------------------------------
+
+def _betweenness_py(edges, max_h, sources=None):
+    """Brandes with the distance bound: only pairs with d(s,t) <= max_h."""
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        nodes |= {u, v}
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+    bc = {v: 0.0 for v in nodes}
+    for s in sources if sources is not None else nodes:
+        dist = {s: 0}
+        sig = {s: 1}
+        order = [s]
+        frontier = [s]
+        for h in range(1, max_h + 1):
+            nxt = {}
+            for u in frontier:
+                for w in sorted(adj.get(u, ())):
+                    if w not in dist:
+                        nxt[w] = nxt.get(w, 0) + sig[u]
+                    elif dist[w] == h:
+                        nxt[w] += sig[u]
+            for w in nxt:
+                dist[w] = h
+                sig[w] = nxt[w]
+                order.append(w)
+            frontier = list(nxt)
+        delta = {v: 0.0 for v in dist}
+        for w in reversed(order):
+            for x in adj.get(w, ()):
+                if dist.get(x) == dist[w] + 1:
+                    delta[w] += sig[w] / sig[x] * (1 + delta[x])
+            if w != s:
+                bc[w] += delta[w]
+    return {v: round(b, 6) for v, b in bc.items()}
+
+
+def test_betweenness_chain_and_star(spark):
+    from engine.operators.betweenness import betweenness_bounded
+
+    # chain 0→1→2→3, H=3: bc(1) = pairs (0,2),(0,3),(1,3)? interior only:
+    # v=1 is interior of 0→2 and 0→3; v=2 interior of 0→3 and 1→3
+    got = {
+        r.id: r.bc
+        for r in betweenness_bounded(
+            _edges_df(spark, [(0, 1), (1, 2), (2, 3)]), 3
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+    # bound at H=2 removes the length-3 pair 0→3
+    got2 = {
+        r.id: r.bc
+        for r in betweenness_bounded(
+            _edges_df(spark, [(0, 1), (1, 2), (2, 3)]), 2
+        ).collect()
+    }
+    assert got2 == {0: 0.0, 1: 1.0, 2: 1.0, 3: 0.0}
+
+
+def test_betweenness_vs_python_oracle(spark):
+    from engine.operators.betweenness import betweenness_bounded
+
+    edges = _sparse_graph(n=40, m=150, seed=23)
+    got = {r.id: r.bc for r in betweenness_bounded(_edges_df(spark, edges), 3).collect()}
+    want = _betweenness_py(edges, 3)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def test_betweenness_sampled_sources(spark):
+    from engine.operators.betweenness import betweenness_bounded
+
+    edges = _sparse_graph(n=40, m=150, seed=29)
+    srcs = sorted({u for e in edges for u in e})[:7]
+    sdf = spark.createDataFrame([(s,) for s in srcs], "id long")
+    got = {
+        r.id: r.bc
+        for r in betweenness_bounded(_edges_df(spark, edges), 3, sources=sdf).collect()
+    }
+    want = _betweenness_py(edges, 3, sources=srcs)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+# --------------------------------------------------------------------------
+# k-truss
+# --------------------------------------------------------------------------
+
+def _ktruss_py(edges, k, rounds=None):
+    E = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    r = 0
+    while True:
+        adj = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        keep = {
+            (u, v)
+            for u, v in E
+            if len(adj.get(u, set()) & adj.get(v, set())) >= k - 2
+        }
+        r += 1
+        if rounds is not None and r == rounds:
+            return keep
+        if keep == E:
+            return E
+        E = keep
+        if rounds is None and not E:
+            return E
+
+
+def test_ktruss_vs_python_oracle(spark):
+    import pytest
+
+    from engine.operators.ktruss import ktruss
+
+    edges = _sparse_graph(n=40, m=260, seed=3)
+    m = {}
+    got = {(r.u, r.v) for r in ktruss(_edges_df(spark, edges), 4, metrics=m).collect()}
+    assert got == _ktruss_py(edges, 4)
+    # peeling monotone: round edge counts never increase
+    counts = [r["edges"] for r in m["ktruss_rounds"]]
+    assert counts == sorted(counts, reverse=True)
+    with pytest.raises(ValueError):
+        ktruss(_edges_df(spark, edges), 1)
+
+
+def test_ktruss_fixed_rounds_matches_prefix_and_fixpoint(spark):
+    from engine.operators.ktruss import ktruss_fixed_rounds
+
+    edges = _sparse_graph(n=40, m=260, seed=11)
+    df = _edges_df(spark, edges)
+    for rounds in (1, 2):
+        got = {(r.u, r.v) for r in ktruss_fixed_rounds(df, 4, rounds).collect()}
+        assert got == _ktruss_py(edges, 4, rounds=rounds), rounds
+    # enough rounds reaches the fixpoint (python oracle converges in 7)
+    deep = {(r.u, r.v) for r in ktruss_fixed_rounds(df, 4, 9).collect()}
+    assert deep == _ktruss_py(edges, 4)
+
+
 def test_graph_mixing_vs_python_oracle(spark):
     import math
 
