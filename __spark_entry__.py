@@ -712,6 +712,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return graph.domain_graph(urls)
 
+    def g21_closeness_3hop(spark, sf):
+        # bounded closeness (reachable count / distance sum within 3 hops)
+        # on the sparse bowtie subgraph — same distances_exact kernel as
+        # g16, integer arithmetic until one final rounded division.
+        # Post-window: validated by check_contract.
+        from engine.operators.neighborhood import closeness_exact
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return closeness_exact(e, 3)
+
     def g11_hyperball_nf(spark, sf):
         # HyperBall HLL-sketch estimate of the same curve over the full
         # derived graph — the sketch path that replaces pair materialization
@@ -938,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g18_lp_modularity": g18_lp_modularity,
         "g19_ktruss_3round": g19_ktruss_3round,
         "g20_betweenness_3hop": g20_betweenness_3hop,
+        "g21_closeness_3hop": g21_closeness_3hop,
         "g12_random_walks": g12_random_walks,
         "g13_katz_3iter": g13_katz_3iter,
         "g14_link_prediction": g14_link_prediction,
@@ -1976,6 +1991,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM md WHERE d > 0 GROUP BY a
             )
             SELECT n.id, coalesce(c.harmonic, 0.0) AS harmonic
+            FROM nodes n LEFT JOIN contrib c ON c.id = n.id
+        """,
+        # bounded closeness from the same min-distance closure: integer
+        # reachable count and distance sum, one final rounded division
+        "g21_closeness_3hop": """
+            WITH RECURSIVE
+            eraw AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM eraw UNION ALL SELECT dst AS id FROM eraw)
+            ),
+            walk(a, b, d) AS (
+                SELECT id, id, 0 FROM nodes
+                UNION
+                SELECT w.a, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.b
+                WHERE w.d < 3
+            ),
+            md AS MATERIALIZED (SELECT a, b, min(d) AS d FROM walk GROUP BY a, b),
+            contrib AS (
+                SELECT a AS id, count(*) AS reachable, CAST(sum(d) AS BIGINT) AS sd
+                FROM md WHERE d > 0 GROUP BY a
+            )
+            SELECT n.id,
+                   CAST(coalesce(c.reachable, 0) AS BIGINT) AS reachable,
+                   round(CASE WHEN c.sd IS NOT NULL
+                              THEN CAST(c.reachable AS DOUBLE) / c.sd
+                              ELSE 0.0 END, 6) AS closeness
             FROM nodes n LEFT JOIN contrib c ON c.id = n.id
         """,
         "a16_degree_stats": f"""

@@ -187,19 +187,13 @@ def neighborhood_hyperball(
 # --- harmonic centrality ----------------------------------------------------
 
 
-def harmonic_exact(
+def distances_exact(
     edges: DataFrame, max_h: int, num_partitions: int | None = None
 ) -> DataFrame:
-    """Outgoing harmonic centrality bounded at max_h hops:
-    H(v) = Σ_{u : 0 < d(v,u) ≤ max_h} 1/d(v,u). One row per vertex,
-    (id BIGINT, harmonic DOUBLE), vertices reaching nothing get 0.0.
-
-    This is the VALIDATION path (exact distances via all-sources frontier
-    BFS over the pair set — O(reachable pairs) state, small-scale / sparse
-    subgraphs only). The 100 TB path is `harmonic_hyperball`. The 1/d
-    contributions are summed as decimal(18,6) so the result is
-    order-independent and bit-identical across engines (the repo's exact
-    decimal-sum float policy)."""
+    """(a, b, d): exact min distance for every ordered pair with
+    d(a,b) ≤ max_h (all-sources frontier BFS over the pair set —
+    O(reachable pairs) state; the VALIDATION path behind harmonic_exact /
+    closeness_exact, small-scale / sparse subgraphs only)."""
     spark = edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = _ckpt(
@@ -225,8 +219,25 @@ def harmonic_exact(
         )
         frontier = _ckpt(new, P, "b")
         visited = _ckpt(visited.union(frontier), P, "b")
+    return visited
+
+
+def harmonic_exact(
+    edges: DataFrame, max_h: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Outgoing harmonic centrality bounded at max_h hops:
+    H(v) = Σ_{u : 0 < d(v,u) ≤ max_h} 1/d(v,u). One row per vertex,
+    (id BIGINT, harmonic DOUBLE), vertices reaching nothing get 0.0.
+
+    This is the VALIDATION path (exact distances via `distances_exact`).
+    The 100 TB path is `harmonic_hyperball`. The 1/d contributions are
+    summed as decimal(18,6) so the result is order-independent and
+    bit-identical across engines (the repo's exact decimal-sum float
+    policy)."""
+    nodes = _nodes(edges)
     contrib = (
-        visited.filter(F.col("d") > 0)
+        distances_exact(edges, max_h, num_partitions)
+        .filter(F.col("d") > 0)
         .groupBy(F.col("a").alias("id"))
         .agg(
             F.sum((F.lit(1.0) / F.col("d")).cast("decimal(18,6)"))
@@ -236,6 +247,40 @@ def harmonic_exact(
     )
     return nodes.join(contrib, "id", "left").select(
         "id", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")
+    )
+
+
+def closeness_exact(
+    edges: DataFrame, max_h: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Bounded outgoing closeness: per vertex,
+    reachable = |{u ≠ v : d(v,u) ≤ max_h}|, and
+    closeness = reachable / Σ d(v,u) over that set (0.0 when nothing is
+    reachable) — the bounded form of Lin's-index-style closeness used
+    alongside harmonic in web measurements. Integer reachable/Σd, one
+    final division, rounded to 6 dp (engine-portable).
+
+    Returns (id BIGINT, reachable BIGINT, closeness DOUBLE)."""
+    nodes = _nodes(edges)
+    contrib = (
+        distances_exact(edges, max_h, num_partitions)
+        .filter(F.col("d") > 0)
+        .groupBy(F.col("a").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("reachable"),
+            F.sum("d").cast("long").alias("_sd"),
+        )
+    )
+    return nodes.join(contrib, "id", "left").select(
+        "id",
+        F.coalesce("reachable", F.lit(0)).cast("long").alias("reachable"),
+        F.round(
+            F.when(
+                F.col("_sd").isNotNull(),
+                F.col("reachable").cast("double") / F.col("_sd"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("closeness"),
     )
 
 

@@ -630,6 +630,36 @@ def test_harmonic_chain_values(spark):
     assert got == {0: 1.833333, 1: 1.5, 2: 1.0, 3: 0.0}
 
 
+def test_closeness_exact_vs_python_oracle(spark):
+    from engine.operators.neighborhood import closeness_exact
+
+    edges = _sparse_graph(n=60, m=160, seed=13)
+    got = {
+        r.id: (r.reachable, r.closeness)
+        for r in closeness_exact(_edges_df(spark, edges), 3).collect()
+    }
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        nodes |= {u, v}
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+    for s in nodes:
+        dist = {s: 0}
+        frontier = [s]
+        for h in range(1, 4):
+            frontier = [
+                w
+                for b in frontier
+                for w in adj.get(b, ())
+                if w not in dist and not dist.update({w: h})
+            ]
+        reach = len(dist) - 1
+        sd = sum(dist.values())
+        want = round(reach / sd, 6) if sd else 0.0
+        assert got[s] == (reach, want), (s, got[s], (reach, want))
+
+
 def test_harmonic_hyperball_tracks_exact(spark):
     from engine.operators.neighborhood import harmonic_exact, harmonic_hyperball
 
