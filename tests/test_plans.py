@@ -319,3 +319,23 @@ def test_bucketed_gather_join_shuffles_only_small_side(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bucket_join")
+
+
+def test_domain_rollup_jvm_only_single_shuffle(spark):
+    """Host extraction (parse_url) + rollup stays whole-stage JVM: no
+    Python eval anywhere, and exactly ONE Exchange (the final groupBy on
+    host pairs) — the map-side partial aggregate collapses page-level
+    duplicates before it."""
+    from engine.operators.graph import domain_graph
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 5}.example.org/p{i}", f"http://h{i % 7}.example.org/q{i}")
+         for i in range(200)],
+        "src string, dst string",
+    )
+    dg = domain_graph(urls)
+    assert not pi.has_python_eval(dg)
+    assert pi.count_exchanges(dg, live_only=True) == 1
+    plan = pi.physical_plan(dg)
+    # partial + final hash aggregate pair around the single exchange
+    assert plan.count("HashAggregate") >= 2
