@@ -54,6 +54,11 @@ def main(argv=None):
         "--dedupe-max-bucket", type=int, default=None,
         help="LSH hot-bucket cap (default: engine MAX_BUCKET_SIZE)",
     )
+    ap.add_argument(
+        "--host-ranks", action="store_true",
+        help="also write <out>/host_ranks: host-level graph rollup + "
+        "weighted PageRank over the extracted URL edges",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -151,6 +156,19 @@ def main(argv=None):
     scored.write.mode("overwrite").parquet(os.path.join(args.out, "pagerank"))
     t_rank = time.time()
 
+    host_summary: dict = {}
+    if args.host_ranks:
+        # Common Crawl-style host-graph artifact: rollup + weighted
+        # PageRank over the same URL edge table (intra-host links dropped
+        # — they reward navigation templates, not endorsement)
+        hr = graph.host_pagerank(
+            edges_url, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter
+        ).orderBy(F.desc("rank"), F.asc("host"))
+        hr.write.mode("overwrite").parquet(os.path.join(args.out, "host_ranks"))
+        host_summary["hosts"] = (
+            spark.read.parquet(os.path.join(args.out, "host_ranks")).count()
+        )
+
     summary = {
         "pages": pages.count(),
         "nodes": res.num_nodes,
@@ -164,6 +182,8 @@ def main(argv=None):
     }
     if dedupe_metrics:
         summary["dedupe_metrics"] = dedupe_metrics
+    if host_summary:
+        summary["host_ranks"] = host_summary
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({**summary, "metrics": res.metrics}, f, indent=1)
     print(json.dumps(summary))

@@ -117,6 +117,31 @@ def test_pipeline_job_near_dedupe_manifest(tmp_path):
     assert (out / "pages_dedup").exists()
 
 
+def test_pipeline_job_host_ranks_artifact(tmp_path):
+    """--host-ranks writes the Common Crawl-style host-graph artifact:
+    rollup → weighted PageRank, Σ rank = 1 over the hosts."""
+    out = tmp_path / "pipe"
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "jobs" / "pipeline_job.py"),
+            "--gen-pages", "300", "--out", str(out),
+            "--host-ranks", "--master", "local[8]", "--partitions", "8",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["host_ranks"]["hosts"] > 0
+    import duckdb
+
+    tot, n = duckdb.sql(
+        f"SELECT sum(rank), count(*) FROM parquet_scan('{out}/host_ranks/*.parquet')"
+    ).fetchone()
+    assert n == summary["host_ranks"]["hosts"]
+    assert abs(tot - 1.0) < 1e-9
+
+
 def test_bucketize_then_kernels_table_roundtrip(tmp_path):
     """Bucketize job writes the src-bucketed table; kernels_job reads it via
     --edges-table and runs the k-core/coreness kernels end-to-end — the
