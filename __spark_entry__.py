@@ -845,6 +845,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nodes = graph.build_nodes(pages.select("url"), eu)
         return graph.encode_edges(eu, nodes)
 
+    def p4_anchor_index(spark, sf):
+        # inbound anchor-text index over the same synthetic pages table —
+        # the web ranking signal beyond topology (rows-only like p1: the
+        # Arrow-UDF extraction has no portable SQL; exact-gated in
+        # tests/test_extraction.py)
+        from engine import datagen
+
+        pages = datagen.generate_pages_df(spark, 300, seed=42, partitions=4)
+        return graph.anchor_text_index(pages, base_domain=datagen.BASE_DOMAIN)
+
     # Key ORDER is the driver's grading window: the first 50 keys get full
     # rows+schema+hash grading (r1-r3 evidence). 49 slots carry oracle-gated
     # queries — including i1b_pagerank_3iter and g6b_hits_2iter, the
@@ -967,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim3_lsh_ann_topk": sim3_lsh_ann_topk,
         "sim4_ivf_ann_topk": sim4_ivf_ann_topk,
         "x5_fingerprint_rolling": x5_fingerprint_rolling,
+        "p4_anchor_index": p4_anchor_index,
     }
 
 

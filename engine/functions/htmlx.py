@@ -236,6 +236,23 @@ def extract_page(html):
     return " ".join(tokens), hrefs
 
 
+def extract_anchors(html) -> list:
+    """[(href, anchor_text), ...] for every <a href=...> surviving
+    decomposition, in document order. anchor_text is the whitespace-
+    normalized visible text of the anchor's own subtree (the classic
+    anchor-text ranking signal — beyond-reference: the reference keeps
+    only hrefs, crawler/core.py:296-297). Duplicates preserved."""
+    root = parse_html(html)
+    decompose_non_content(root)
+    out = []
+    for el in _iter_elements(root):
+        if el.tag == "a" and "href" in el.attrs:
+            tokens: list = []
+            _get_text_tokens(el, tokens)
+            out.append((el.attrs["href"], " ".join(tokens)))
+    return out
+
+
 _CONTENT_LANG_RE = re.compile("content-language", re.I)
 _LANGUAGE_RE = re.compile("language", re.I)
 

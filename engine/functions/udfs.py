@@ -31,9 +31,19 @@ _PAGE_STRUCT = StructType(
 
 from engine.functions import htmlx, urls
 
+_ANCHOR_ARRAY = ArrayType(
+    StructType(
+        [
+            StructField("href", StringType()),
+            StructField("anchor", StringType()),
+        ]
+    )
+)
+
 __all__ = [
     "extract_page_udf",
     "extract_text_udf",
+    "extract_anchors_udf",
     "normalize_url_udf",
     "resolve_href_udf",
     "base_domain_udf",
@@ -54,6 +64,11 @@ def extract_page_udf(html: pd.Series) -> pd.DataFrame:
             texts.append(t)
             hrefs.append(a)
     return pd.DataFrame({"text": texts, "hrefs": hrefs})
+
+
+@pandas_udf(_ANCHOR_ARRAY)
+def extract_anchors_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda h: [] if h is None else htmlx.extract_anchors(h))
 
 
 @pandas_udf(StringType())

@@ -136,6 +136,46 @@ def encode_edges(edges_url: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def anchor_text_index(
+    pages: DataFrame, base_domain: str | None = None
+) -> DataFrame:
+    """Inbound anchor-text index — the classic web ranking signal the
+    page-level link graph carries beyond its topology (beyond-reference:
+    the reference keeps only hrefs, crawler/core.py:296-297).
+
+    pages (url, html, ...) → one Arrow-batched parse per page extracting
+    (href, anchor_text) pairs → urljoin+normalize the target (the same
+    resolve semantics as edge building) → scheme / optional same-domain
+    filters in the reference's order → JVM-side tokenization (the
+    reference tokenizer pattern, tfidf.TOKEN_PATTERN) → (dst, term, freq).
+
+    Scale shape: the only Python is the per-page extraction UDF (Arrow
+    batches, one mini-DOM parse shared across all anchors of a page);
+    everything after the explode is whole-stage codegen, and the single
+    shuffle is the final partial-agg groupBy on (dst, term)."""
+    from engine.functions.udfs import extract_anchors_udf
+    from engine.operators.tfidf import tokenize_col
+
+    a = (
+        pages.select("url", F.explode(extract_anchors_udf(F.col("html"))).alias("an"))
+        .select(
+            "url",
+            F.col("an.href").alias("href"),
+            F.col("an.anchor").alias("anchor"),
+        )
+        .withColumn("dst", resolve_href_udf(F.col("url"), F.col("href")))
+    )
+    if base_domain is not None:
+        a = a.filter(base_domain_udf(F.col("dst")) == F.lit(base_domain.lower()))
+    a = a.filter(
+        ~F.col("dst").startswith("mailto:") & ~F.col("dst").startswith("javascript:")
+    )
+    terms = a.select(
+        "dst", F.explode(tokenize_col(F.col("anchor"))).alias("term")
+    )
+    return terms.groupBy("dst", "term").agg(F.count(F.lit(1)).alias("freq"))
+
+
 def domain_graph(
     edges_url: DataFrame,
     src_col: str = "src",

@@ -99,3 +99,60 @@ def test_dense_node_ids_deterministic_and_dense(spark):
     # rerun gives identical assignment
     nodes2 = graph.build_nodes(pages.select("url"), edges_url)
     assert sorted(map(tuple, nodes.collect())) == sorted(map(tuple, nodes2.collect()))
+
+
+def test_extract_anchors_minidom():
+    html = (
+        "<html><body>"
+        "<nav><a href='/skip'>Skip nav</a></nav>"
+        "<main>"
+        "<a href='/a'>First <b>Link</b></a>"
+        "<p><a href='/b'>second   link</a> prose</p>"
+        "<a name='no-href'>not a link</a>"
+        "</main>"
+        "<footer><a href='/c'>footer link</a></footer>"
+        "</body></html>"
+    )
+    got = htmlx.extract_anchors(html)
+    # nav/footer anchors are decomposed away; anchor text is the
+    # whitespace-normalized visible subtree text
+    assert got == [("/a", "First Link"), ("/b", "second link")]
+
+
+def test_anchor_text_index_spark(spark):
+    rows = [
+        (
+            "https://example.org/p1",
+            "<html><body><main>"
+            "<a href='/target'>Great Article</a>"
+            "<a href='https://example.org/target'>great read</a>"
+            "<a href='mailto:x@y.z'>mail me</a>"
+            "</main></body></html>",
+        ),
+        (
+            "https://example.org/p2",
+            "<html><body><main>"
+            "<a href='/target'>article</a>"
+            "<a href='https://other.net/x'>external</a>"
+            "</main></body></html>",
+        ),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html string")
+    idx = {
+        (r.dst, r.term): r.freq
+        for r in graph.anchor_text_index(pages).collect()
+    }
+    t = "https://example.org/target"
+    assert idx[(t, "great")] == 2
+    assert idx[(t, "article")] == 2
+    assert idx[(t, "read")] == 1
+    assert ("https://other.net/x", "external") in idx
+    assert not any(d.startswith("mailto:") for d, _ in idx)
+
+    # same-domain restriction drops the external target
+    restricted = {
+        (r.dst, r.term): r.freq
+        for r in graph.anchor_text_index(pages, base_domain="example.org").collect()
+    }
+    assert (t, "great") in restricted
+    assert not any(d == "https://other.net/x" for d, _ in restricted)
