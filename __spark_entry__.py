@@ -855,6 +855,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = datagen.generate_pages_df(spark, 300, seed=42, partitions=4)
         return graph.anchor_text_index(pages, base_domain=datagen.BASE_DOMAIN)
 
+    def g22_snapshot_diff(spark, sf):
+        # crawl snapshot delta: two overlapping edge snapshots derived from
+        # lineitem (l_linenumber bands model two monthly crawls of the same
+        # web), diffed into added/removed/retained via ONE co-partitioned
+        # full-outer join over the distinct sets
+        from engine.operators import snapshots
+
+        li = _t(spark, sf, "lineitem")
+        mk = lambda cond: li.where(cond).select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return snapshots.snapshot_diff(mk("l_linenumber <= 4"), mk("l_linenumber >= 2"))
+
+    def g23_crawl_churn(spark, sf):
+        # per-source churn profile over the same snapshot pair: counts per
+        # status + out-link-set jaccard (1.0 = page out-links unchanged)
+        from engine.operators import snapshots
+
+        li = _t(spark, sf, "lineitem")
+        mk = lambda cond: li.where(cond).select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return snapshots.crawl_churn(mk("l_linenumber <= 4"), mk("l_linenumber >= 2"))
+
+    def x8_top_bigrams(spark, sf):
+        # corpus-wide top-100 word bigrams (LM-training boilerplate profile):
+        # sequence/slice n-gram expansion stays pure Catalyst; total ordering
+        # (cnt DESC, ngram ASC) makes the k-boundary deterministic
+        d = _t(spark, sf, "documents")
+        return textstats.top_ngrams(d, "text", n=2, k=100)
+
     # Key ORDER is the driver's grading window: the first 50 keys get full
     # rows+schema+hash grading (r1-r3 evidence). 49 slots carry oracle-gated
     # queries — including i1b_pagerank_3iter and g6b_hits_2iter, the
@@ -968,6 +1001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
         "g15_sssp_4round": g15_sssp_4round,
+        "g22_snapshot_diff": g22_snapshot_diff,
+        "g23_crawl_churn": g23_crawl_churn,
+        "x8_top_bigrams": x8_top_bigrams,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -2182,5 +2218,56 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0.5 END AS r
                 FROM documents)
             WHERE u < r
+        """,
+        "g22_snapshot_diff": """
+            WITH old_snap AS (
+                SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_linenumber <= 4
+            ), new_snap AS (
+                SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_linenumber >= 2
+            )
+            SELECT COALESCE(o.src, n.src) AS src,
+                   COALESCE(o.dst, n.dst) AS dst,
+                   CASE WHEN o.src IS NULL THEN 'added'
+                        WHEN n.src IS NULL THEN 'removed'
+                        ELSE 'retained' END AS status
+            FROM old_snap o FULL OUTER JOIN new_snap n
+              ON o.src = n.src AND o.dst = n.dst
+        """,
+        "g23_crawl_churn": """
+            WITH old_snap AS (
+                SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_linenumber <= 4
+            ), new_snap AS (
+                SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_linenumber >= 2
+            ), diff AS (
+                SELECT COALESCE(o.src, n.src) AS src,
+                       CASE WHEN o.src IS NULL THEN 'added'
+                            WHEN n.src IS NULL THEN 'removed'
+                            ELSE 'retained' END AS status
+                FROM old_snap o FULL OUTER JOIN new_snap n
+                  ON o.src = n.src AND o.dst = n.dst
+            )
+            SELECT src,
+                   CAST(count(*) FILTER (WHERE status = 'added') AS BIGINT) AS added,
+                   CAST(count(*) FILTER (WHERE status = 'removed') AS BIGINT) AS removed,
+                   CAST(count(*) FILTER (WHERE status = 'retained') AS BIGINT) AS retained,
+                   round(CAST(count(*) FILTER (WHERE status = 'retained') AS DOUBLE)
+                         / count(*), 6) AS jaccard
+            FROM diff GROUP BY src
+        """,
+        "x8_top_bigrams": f"""
+            WITH toks AS (
+                SELECT {_TOK} AS t FROM documents
+            ), grams AS (
+                SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i + 1])) AS ngram
+                FROM toks WHERE len(t) >= 2
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY ngram
+            ORDER BY cnt DESC, ngram LIMIT 100
         """,
     }

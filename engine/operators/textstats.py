@@ -108,3 +108,40 @@ def add_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fp_md5", fingerprint_md5_col(F.col(text_col))).withColumn(
         "fp_rolling", fingerprint_rolling_col(F.col(text_col))
     )
+
+
+def ngrams_col(text_col, n: int = 2):
+    """ArrayType(String) of space-joined word n-grams over the reference
+    tokenizer's token stream — sequence/slice/concat_ws, pure Catalyst
+    (no UDF, stays inside whole-stage codegen). Docs with < n tokens yield
+    an empty array."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokenize_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, text_col: str = "text", n: int = 2, k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: (ngram, cnt BIGINT) — the LM-training
+    profile question ("what boilerplate phrases dominate this crawl?").
+
+    Scale shape: explode multiplies rows by ~tokens-per-doc but the count
+    aggregate is map-side combinable (partial counts per partition before
+    the shuffle carries only distinct grams), and the final top-k is a
+    TakeOrderedAndProject — no full sort, no driver-side loop. The ordering
+    (cnt DESC, ngram ASC) is total, so the k-boundary is deterministic."""
+    grams = docs.select(F.explode(ngrams_col(F.col(text_col), n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -1223,3 +1223,74 @@ def test_sssp_negative_weight_raises(spark):
 
     with pytest.raises(ValueError, match="negative"):
         sssp(_wedges_df(spark, [(0, 1, -2.0)]), _sources_df(spark, [0]))
+
+
+# --------------------------------------------------------------------------
+# crawl snapshot diff / churn
+# --------------------------------------------------------------------------
+
+
+def _diff_py(old, new):
+    o, n = set(old), set(new)
+    out = {}
+    for e in o | n:
+        out[e] = "retained" if e in o and e in n else ("removed" if e in o else "added")
+    return out
+
+
+def test_snapshot_diff_vs_set_oracle(spark):
+    from engine.operators.snapshots import snapshot_diff
+
+    rng = random.Random(31)
+    old = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    new = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    got = {
+        (r.src, r.dst): r.status
+        for r in snapshot_diff(_edges_df(spark, old), _edges_df(spark, new)).collect()
+    }
+    assert got == _diff_py(old, new)
+
+
+def test_snapshot_diff_duplicates_collapse(spark):
+    from engine.operators.snapshots import snapshot_diff
+
+    old = [(1, 2), (1, 2), (3, 4)]
+    new = [(1, 2), (5, 6), (5, 6)]
+    rows = snapshot_diff(_edges_df(spark, old), _edges_df(spark, new)).collect()
+    got = {(r.src, r.dst): r.status for r in rows}
+    assert len(rows) == len(got) == 3  # no duplicate output rows
+    assert got == {(1, 2): "retained", (3, 4): "removed", (5, 6): "added"}
+
+
+def test_crawl_churn_vs_set_oracle(spark):
+    from engine.operators.snapshots import crawl_churn
+
+    rng = random.Random(37)
+    old = [(rng.randrange(25), rng.randrange(25)) for _ in range(200)]
+    new = [(rng.randrange(25), rng.randrange(25)) for _ in range(200)]
+    diff = _diff_py(old, new)
+    exp = {}
+    for (s, _d), st in diff.items():
+        a, r, t = exp.get(s, (0, 0, 0))
+        exp[s] = (
+            a + (st == "added"),
+            r + (st == "removed"),
+            t + (st == "retained"),
+        )
+    got = crawl_churn(_edges_df(spark, old), _edges_df(spark, new)).collect()
+    assert len(got) == len(exp)
+    for row in got:
+        a, r, t = exp[row.src]
+        assert (row.added, row.removed, row.retained) == (a, r, t), row.src
+        assert row.jaccard == round(t / (a + r + t), 6)
+
+
+def test_snapshot_diff_single_shuffle_per_side(spark):
+    # the distinct and the full-outer join hash by the same (src, dst) key,
+    # so the whole diff plans exactly one exchange per input side
+    from engine.operators.snapshots import snapshot_diff
+
+    old = _edges_df(spark, [(1, 2), (3, 4)])
+    new = _edges_df(spark, [(1, 2), (5, 6)])
+    plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan

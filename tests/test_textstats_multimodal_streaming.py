@@ -283,3 +283,55 @@ def test_watermark_drops_late_events(spark, tmp_path):
     got = {r.window_start: r.n_events for r in spark.read.parquet(out_dir).collect()}
     # window [t0, t0+1h) finalized with ONLY the on-time events; #4 dropped
     assert got.get(t0) == 2
+
+
+def test_top_ngrams_vs_counter_oracle(spark):
+    import re
+    from collections import Counter
+
+    from engine.operators.textstats import top_ngrams
+
+    docs = [
+        (0, "the cat sat on the mat the cat"),
+        (1, "the cat ran"),
+        (2, "one"),          # < 2 tokens -> contributes nothing
+        (3, ""),             # empty
+        (4, "The CAT sat"),  # case-folds into the same bigrams
+    ]
+    exp = Counter()
+    for _i, t in docs:
+        toks = re.findall(r"\w+", t.lower())
+        exp.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = top_ngrams(df, "text", n=2, k=100).collect()
+    assert {r.ngram: r.cnt for r in got} == dict(exp)
+    # total ordering: cnt desc then ngram asc
+    keys = [(-r.cnt, r.ngram) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_top_ngrams_k_boundary_and_trigrams(spark):
+    import re
+    from collections import Counter
+
+    from engine.operators.textstats import top_ngrams
+
+    docs = [(i, f"alpha beta gamma delta token{i} alpha beta gamma") for i in range(20)]
+    exp = Counter()
+    for _i, t in docs:
+        toks = re.findall(r"\w+", t.lower())
+        exp.update(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 5
+    got = [(r.ngram, r.cnt) for r in top_ngrams(df, "text", n=3, k=k).collect()]
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
+
+
+def test_ngrams_col_no_python_udf(spark):
+    # sequence/slice/concat_ws n-gram expansion must stay JVM-side
+    from engine.operators.textstats import top_ngrams
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = top_ngrams(df, "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
