@@ -881,6 +881,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snapshots.crawl_churn(mk("l_linenumber <= 4"), mk("l_linenumber >= 2"))
 
+    def g24_cocitation(spark, sf):
+        # co-citation similarity (shared-citer wedge counts + Salton cosine)
+        # over the derived edge table; min_count trims the long tail so the
+        # graded output stays a meaningful "related pages" candidate set.
+        # bibliographic_coupling shares the kernel and is gated in pytest by
+        # the exact transpose-equivalence test.
+        from engine.operators import cocitation as cc
+
+        return cc.cocitation(_edges(spark, sf), min_count=6)
+
     def x8_top_bigrams(spark, sf):
         # corpus-wide top-100 word bigrams (LM-training boilerplate profile):
         # sequence/slice n-gram expansion stays pure Catalyst; total ordering
@@ -1003,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g15_sssp_4round": g15_sssp_4round,
         "g22_snapshot_diff": g22_snapshot_diff,
         "g23_crawl_churn": g23_crawl_churn,
+        "g24_cocitation": g24_cocitation,
         "x8_top_bigrams": x8_top_bigrams,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
@@ -2257,6 +2268,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(count(*) FILTER (WHERE status = 'retained') AS DOUBLE)
                          / count(*), 6) AS jaccard
             FROM diff GROUP BY src
+        """,
+        "g24_cocitation": """
+            WITH e AS (
+                SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem
+                WHERE l_orderkey % 997 <> l_partkey % 997
+            ), deg AS (
+                SELECT dst, count(*) AS d FROM e GROUP BY dst
+            ), pairs AS (
+                SELECT l.dst AS a, r.dst AS b,
+                       CAST(count(*) AS BIGINT) AS cocite
+                FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+                GROUP BY 1, 2
+                HAVING count(*) >= 6
+            )
+            SELECT a, b, cocite,
+                   round(cocite / sqrt(da.d * db.d), 6) AS cosine
+            FROM pairs
+            JOIN deg da ON da.dst = pairs.a
+            JOIN deg db ON db.dst = pairs.b
         """,
         "x8_top_bigrams": f"""
             WITH toks AS (

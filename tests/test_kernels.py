@@ -1294,3 +1294,83 @@ def test_snapshot_diff_single_shuffle_per_side(spark):
     new = _edges_df(spark, [(1, 2), (5, 6)])
     plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
+
+
+# --------------------------------------------------------------------------
+# co-citation / bibliographic coupling
+# --------------------------------------------------------------------------
+
+
+def _cocite_py(edges, max_fanout=None):
+    """Brute-force: pairs of targets sharing a citer, Salton cosine."""
+    from collections import defaultdict
+    from math import sqrt
+
+    simple = {(s, d) for s, d in edges if s != d}
+    outs = defaultdict(set)
+    indeg = defaultdict(int)
+    for s, d in simple:
+        outs[s].add(d)
+        indeg[d] += 1
+    cnt = defaultdict(int)
+    for s, ds in outs.items():
+        if max_fanout is not None and len(ds) > max_fanout:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cnt[(ds[i], ds[j])] += 1
+    return {
+        p: (c, round(c / sqrt(indeg[p[0]] * indeg[p[1]]), 6))
+        for p, c in cnt.items()
+    }
+
+
+def test_cocitation_vs_python_oracle(spark):
+    from engine.operators.cocitation import cocitation
+
+    rng = random.Random(41)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(250)]
+    got = {
+        (r.a, r.b): (r.cocite, r.cosine)
+        for r in cocitation(_edges_df(spark, edges)).collect()
+    }
+    assert got == _cocite_py(edges)
+
+
+def test_coupling_is_cocitation_of_transpose(spark):
+    from engine.operators.cocitation import bibliographic_coupling
+
+    rng = random.Random(43)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(250)]
+    got = {
+        (r.a, r.b): (r.coupling, r.cosine)
+        for r in bibliographic_coupling(_edges_df(spark, edges)).collect()
+    }
+    assert got == _cocite_py([(d, s) for s, d in edges])
+
+
+def test_cocitation_fanout_cap_and_metrics(spark):
+    from engine.operators.cocitation import cocitation
+
+    # hub 0 links to 10 targets; sources 1-3 link to 2 targets each
+    edges = [(0, 100 + i) for i in range(10)]
+    edges += [(s, 100 + s) for s in (1, 2, 3)]
+    edges += [(s, 101 + s) for s in (1, 2, 3)]
+    m = {}
+    got = {
+        (r.a, r.b): r.cocite
+        for r in cocitation(_edges_df(spark, edges), max_fanout=5, metrics=m).collect()
+    }
+    exp = {p: c for p, (c, _cos) in _cocite_py(edges, max_fanout=5).items()}
+    assert got == exp
+    assert m["cocite_pivots_capped"] == 1
+    assert m["cocite_wedges_dropped"] == 45  # C(10, 2)
+
+
+def test_cocitation_duplicate_edges_and_loops_collapse(spark):
+    from engine.operators.cocitation import cocitation
+
+    edges = [(0, 1), (0, 1), (0, 2), (1, 1), (3, 1), (3, 2)]
+    got = {(r.a, r.b): r.cocite for r in cocitation(_edges_df(spark, edges)).collect()}
+    assert got == {(1, 2): 2}  # sources 0 and 3 each co-cite {1, 2}
