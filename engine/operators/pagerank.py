@@ -108,6 +108,7 @@ def pagerank(
     check_every: int = 1,
     personalization: DataFrame | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank over an edge table (src BIGINT, dst BIGINT).
 
@@ -143,6 +144,16 @@ def pagerank(
     zero is dangling (exactly like a source with no out-edges). Costs one
     extra O(m) validation pass at build time (never per-iteration); the
     default None keeps the reference's unweighted recurrence bit-identical.
+
+    init_ranks: optional (id, rank) seed vector for incremental re-ranking —
+    warm-start this snapshot's run from the previous snapshot's converged
+    vector (compose with snapshots.snapshot_diff for the monthly-crawl
+    delta workflow). New ids get uniform mass, vanished ids drop, and the
+    seed is renormalized to Σ=1, so the fixpoint and convergence criterion
+    are identical to a cold run — only the iteration count shrinks (the
+    power method starts near the dominant eigenvector). Precedence: a
+    checkpoint_dir resume snapshot wins over init_ranks, which wins over
+    the personalization/uniform default.
 
     personalization: optional (id, weight) teleport distribution (normalized
     to Σ=1 internally; missing ids get weight 0). Standard personalized
@@ -264,6 +275,28 @@ def pagerank(
                 .repartition(P, "id")
                 .localCheckpoint(eager=True)
             )
+    if r is None and init_ranks is not None:
+        # warm start (incremental re-rank over a snapshot delta): seed from a
+        # prior run's vector. Ids absent from init_ranks (pages new in this
+        # snapshot) get the uniform mass; the seeded vector is then
+        # renormalized to Σ=1 with a lazy 1-row broadcast aggregate (the
+        # recurrence preserves Σ=1 from there, so the convergence criterion
+        # and fixpoint are identical to a cold run — only the iteration
+        # count changes). Vanished ids drop out via the inner node join.
+        seeded = node_info.join(
+            init_ranks.select("id", F.col("rank").alias("_r0")), "id", "left"
+        ).select(
+            "id",
+            F.coalesce(F.col("_r0"), F.lit(1.0 / n)).alias("rank"),
+            "is_dangling",
+        )
+        tot = seeded.agg(F.sum("rank").alias("_t"))
+        r = (
+            seeded.join(F.broadcast(tot))
+            .select("id", (F.col("rank") / F.col("_t")).alias("rank"), "is_dangling")
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
     if r is None:
         init_rank = F.col("pw") if personalization is not None else F.lit(1.0 / n)
         r = node_info.select(

@@ -3,6 +3,7 @@ files, dangling handling, salted-gather equivalence, checkpoint/resume."""
 
 from __future__ import annotations
 
+import random
 import re
 
 import numpy as np
@@ -289,3 +290,51 @@ def test_weighted_gather_paths_agree(spark):
     sh = pagerank(df, tol=1e-10, max_iter=30, weight_col="wt", broadcast_ranks=False)
     n = bc.num_nodes
     assert np.allclose(_ranks_array(bc, n), _ranks_array(sh, n), atol=1e-12)
+
+
+def test_warm_start_same_fixpoint_fewer_iterations(spark):
+    # incremental re-rank: converge on snapshot A, perturb a few edges
+    # (snapshot B), warm-start B from A's vector — identical fixpoint to a
+    # cold B run (same oracle), strictly fewer iterations
+    rng = random.Random(47)
+    base = [(rng.randrange(60), rng.randrange(60)) for _ in range(400)]
+    snap_b = base[10:] + [(rng.randrange(60), rng.randrange(60)) for _ in range(10)]
+
+    res_a = pagerank(_edges_df(spark, base), tol=1e-10, max_iter=200)
+    cold_b = pagerank(_edges_df(spark, snap_b), tol=1e-10, max_iter=200)
+    warm_b = pagerank(
+        _edges_df(spark, snap_b), tol=1e-10, max_iter=200, init_ranks=res_a.ranks
+    )
+    assert cold_b.converged and warm_b.converged
+    assert warm_b.iterations < cold_b.iterations
+    expected, _it, conv = pagerank_numpy(snap_b, tol=1e-10, max_iter=200)
+    assert conv
+    n = max(max(s, d) for s, d in snap_b) + 1
+    assert np.allclose(_ranks_array(warm_b, n), expected, atol=1e-8)
+
+
+def test_warm_start_new_and_vanished_ids(spark):
+    # B adds node ids beyond A's universe (uniform-seeded) and drops A's max
+    # id (its seed mass must not survive); Σ=1 invariant holds at init
+    old = [(0, 1), (1, 2), (2, 0), (2, 3)]  # ids 0..3
+    new = [(0, 1), (1, 2), (2, 0), (1, 5)]  # id 5 new, id 3 vanished... but
+    # dense-id convention: node universe is 0..max, so 3 and 4 exist in B as
+    # dangling — the test point is seeding works across DIFFERENT universes
+    res_a = pagerank(_edges_df(spark, old), tol=1e-10, max_iter=100)
+    warm = pagerank(_edges_df(spark, new), tol=1e-10, max_iter=100, init_ranks=res_a.ranks)
+    expected, _it, conv = pagerank_numpy(new, tol=1e-10, max_iter=100)
+    assert warm.converged and conv
+    assert np.allclose(_ranks_array(warm, 6), expected, atol=1e-8)
+    got = _ranks_array(warm, 6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_warm_start_at_fixpoint_converges_immediately(spark):
+    # seeding with the converged vector of the SAME graph must converge on
+    # the first convergence check
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (3, 2), (0, 2), (4, 0)]
+    res = pagerank(_edges_df(spark, edges), tol=1e-9, max_iter=100)
+    warm = pagerank(
+        _edges_df(spark, edges), tol=1e-9, max_iter=100, init_ranks=res.ranks
+    )
+    assert warm.converged and warm.iterations <= 2
