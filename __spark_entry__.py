@@ -881,6 +881,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snapshots.crawl_churn(mk("l_linenumber <= 4"), mk("l_linenumber >= 2"))
 
+    def p5_frontier_ranking(spark, sf):
+        # crawl-frontier scheduling: rank unvisited pages by the link mass
+        # forwarded from the visited set (visited = ids ≡ 0 mod 7 of the
+        # derived graph — a deterministic stand-in for "crawled so far")
+        from engine.operators import frontier
+
+        edges = _edges(spark, sf)
+        vis = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .where("id % 7 = 0")
+        )
+        return frontier.frontier_ranking(edges, vis)
+
     def g24_cocitation(spark, sf):
         # co-citation similarity (shared-citer wedge counts + Salton cosine)
         # over the derived edge table; min_count trims the long tail so the
@@ -1014,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g22_snapshot_diff": g22_snapshot_diff,
         "g23_crawl_churn": g23_crawl_churn,
         "g24_cocitation": g24_cocitation,
+        "p5_frontier_ranking": p5_frontier_ranking,
         "x8_top_bigrams": x8_top_bigrams,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
@@ -2268,6 +2284,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(count(*) FILTER (WHERE status = 'retained') AS DOUBLE)
                          / count(*), 6) AS jaccard
             FROM diff GROUP BY src
+        """,
+        "p5_frontier_ranking": """
+            WITH e AS (
+                SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem
+                WHERE l_orderkey % 997 <> l_partkey % 997
+            ), vis AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM e UNION SELECT dst FROM e
+                ) WHERE id % 7 = 0
+            ), w AS (
+                SELECT src,
+                       round(CAST(1.0 AS DOUBLE) / count(*), 9) AS w
+                FROM e GROUP BY src
+            ), contrib AS (
+                SELECT e.dst,
+                       CAST(count(*) AS BIGINT) AS n_links,
+                       CAST(sum(CAST(w.w AS DECIMAL(28,9))) AS DOUBLE) AS m
+                FROM e
+                JOIN vis ON e.src = vis.id
+                JOIN w ON w.src = e.src
+                GROUP BY e.dst
+            )
+            SELECT dst AS id, n_links, round(m, 6) AS mass
+            FROM contrib
+            WHERE dst NOT IN (SELECT id FROM vis)
         """,
         "g24_cocitation": """
             WITH e AS (

@@ -1374,3 +1374,76 @@ def test_cocitation_duplicate_edges_and_loops_collapse(spark):
     edges = [(0, 1), (0, 1), (0, 2), (1, 1), (3, 1), (3, 2)]
     got = {(r.a, r.b): r.cocite for r in cocitation(_edges_df(spark, edges)).collect()}
     assert got == {(1, 2): 2}  # sources 0 and 3 each co-cite {1, 2}
+
+
+# --------------------------------------------------------------------------
+# crawl-frontier ranking
+# --------------------------------------------------------------------------
+
+
+def _frontier_py(edges, visited, ranks=None):
+    from collections import defaultdict
+
+    simple = {(s, d) for s, d in edges if s != d}
+    outs = defaultdict(set)
+    for s, d in simple:
+        outs[s].add(d)
+    vis = set(visited)
+    agg = defaultdict(lambda: [0, 0.0])
+    for s in vis:
+        base = ranks[s] if ranks is not None else 1.0
+        if not outs[s]:
+            continue
+        w = round(base / len(outs[s]), 9)
+        for d in outs[s]:
+            if d in vis:
+                continue
+            agg[d][0] += 1
+            agg[d][1] += w
+    return {d: (n, round(m, 6)) for d, (n, m) in agg.items()}
+
+
+def test_frontier_ranking_vs_python_oracle(spark):
+    from engine.operators.frontier import frontier_ranking
+
+    rng = random.Random(53)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(400)]
+    visited = list(range(0, 50, 3))
+    vdf = spark.createDataFrame([(v,) for v in visited], "id long")
+    got = {
+        r.id: (r.n_links, r.mass)
+        for r in frontier_ranking(_edges_df(spark, edges), vdf).collect()
+    }
+    assert got == _frontier_py(edges, visited)
+
+
+def test_frontier_ranking_with_ranks(spark):
+    from engine.operators.frontier import frontier_ranking
+    from engine.operators.pagerank import pagerank
+
+    rng = random.Random(59)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(300)]
+    visited = list(range(0, 40, 4))
+    res = pagerank(_edges_df(spark, edges), tol=1e-10, max_iter=100)
+    rank_map = {r.id: r.rank for r in res.ranks.collect()}
+    vdf = spark.createDataFrame([(v,) for v in visited], "id long")
+    got = {
+        r.id: (r.n_links, r.mass)
+        for r in frontier_ranking(_edges_df(spark, edges), vdf, ranks=res.ranks).collect()
+    }
+    assert got == _frontier_py(edges, visited, ranks=rank_map)
+
+
+def test_frontier_topk_deterministic_and_excludes_visited(spark):
+    from engine.operators.frontier import frontier_topk
+
+    # two visited hubs pointing into a shared pool; visited 0 also links
+    # visited 1 (must not reappear in the frontier)
+    edges = [(0, d) for d in (1, 10, 11, 12)] + [(1, d) for d in (10, 13)]
+    vdf = spark.createDataFrame([(0,), (1,)], "id long")
+    rows = frontier_topk(_edges_df(spark, edges), vdf, k=3).collect()
+    ids = [r.id for r in rows]
+    assert 0 not in ids and 1 not in ids
+    # 10 gets 0.25 + 0.5 = 0.75; 13 gets 0.5; 11/12 get 0.25 (tie -> id asc)
+    assert ids == [10, 13, 11]
+    assert rows[0].n_links == 2 and rows[0].mass == 0.75
