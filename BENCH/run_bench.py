@@ -351,6 +351,43 @@ Implied 2→8 efficiency: **{e64:.3f} with p=64** vs **{ept:.3f} with
 p≈threads**: {concl}.
 """
 
+    def _warm_md():
+        """Incremental re-rank evidence from BENCH/warm.json (written by
+        `warm_bench.py --save`); empty if never run."""
+        path = BENCH_DIR / "warm.json"
+        if not path.exists():
+            return ""
+        w = json.loads(path.read_text())
+        ca, cb, wb = w["cold_a"], w["cold_b"], w["warm_b"]
+        return f"""
+## Incremental re-rank: warm-start across a snapshot delta
+
+The monthly-crawl workflow (`snapshots.snapshot_diff` +
+`pagerank(init_ranks=...)`): snapshot B rewires {w['churn_pct']}% of the
+{w['edges']:,}-edge / {w['nodes']:,}-node shuffle table's edges
+(deterministic hash churn); B is then ranked cold vs warm-started from
+A's converged vector, tol {w['tol']}, local[{w['cpus']}]:
+
+| run | iterations to converge | wall |
+|---|---|---|
+| cold A | {ca['iterations']} | {ca['wall_sec']} s |
+| cold B | {cb['iterations']} | {cb['wall_sec']} s |
+| warm B (seeded from A) | **{wb['iterations']}** | {wb['wall_sec']} s |
+
+Warm start needs **{w['iter_ratio']:.0%} of the cold iteration count**
+(same fixpoint — the seed is renormalized and the recurrence/criterion
+are unchanged, gated by tests/test_pagerank.py::test_warm_start_*).
+Iterations are the scale-invariant quantity: each one is a full
+edge-sized gather at ANY cluster size, so the {wb['iterations']}/
+{cb['iterations']} ratio transfers directly to the 10^12-edge setting.
+The saving is churn-bound — the seed starts at L1 distance O(churn) from
+B's fixpoint instead of O(1), and the power method contracts that gap by
+a fixed α factor per iteration, so smaller monthly deltas converge in
+correspondingly fewer iterations (the wall-clock column additionally
+reflects JVM warm-up and host steal; the iteration column is the claim).
+Re-run: `python BENCH/warm_bench.py --save`.
+"""
+
     def _ann_md():
         """ANN-path scale validation from BENCH/ann.json (written by
         `ann_bench.py --save`); empty if never run."""
@@ -603,7 +640,7 @@ aggregation remains implemented and tested (`pagerank(salt_buckets=S)`,
 equivalence-gated by tests/test_pagerank.py) for gathers whose aggregate
 is NOT map-side combinable (e.g. collect-style neighborhoods) and for
 join-side skew, where salting is the correct tool.
-{_ab_md()}{_paired_md()}{_interleave_md()}{_ann_md()}
+{_ab_md()}{_paired_md()}{_interleave_md()}{_warm_md()}{_ann_md()}
 ## Graph-kernel validation at 1M nodes / 10M edges (local[32])
 
 Same deterministic Zipf generator, one-off wall-clock validation of the
