@@ -3,7 +3,8 @@
     spark-submit --py-files engine.zip jobs/pagerank_job.py \
         --edges /path/to/edges --format parquet|text \
         --out /path/to/outdir [--alpha 0.85 --tol 1e-6 --max-iter 100 \
-        --top-k 10 --salt-buckets 0 --checkpoint-dir DIR --partitions P]
+        --top-k 10 --salt-buckets 0 --checkpoint-dir DIR --partitions P \
+        --init-ranks /prior/out/ranks]
 
 Reads (src BIGINT, dst BIGINT), runs the damped power iteration with
 dangling-mass redistribution (reference backend/cuda/pagerank_gpu.cu:137-191
@@ -39,6 +40,13 @@ def main(argv=None):
     ap.add_argument("--salt-buckets", type=int, default=0)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=5)
+    ap.add_argument(
+        "--init-ranks",
+        default=None,
+        help="Parquet (id, rank) from a prior run's {out}/ranks — warm-start "
+        "this snapshot's iteration for incremental monthly re-ranking "
+        "(same fixpoint, fewer iterations; see BENCH/warm_bench.py)",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -64,6 +72,9 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         num_partitions=args.partitions,
+        init_ranks=(
+            spark.read.parquet(args.init_ranks) if args.init_ranks else None
+        ),
     )
 
     ranks = res.ranks.persist()

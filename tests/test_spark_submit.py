@@ -213,3 +213,46 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
         [l for l in proc2.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert meta2["scc_outer_rounds"] >= 1
+
+
+def test_pagerank_job_warm_start_roundtrip(tmp_path):
+    # the incremental workflow end-to-end through the job CLI: run once,
+    # feed {out}/ranks back via --init-ranks, expect the same topk report
+    # and fewer (or equal) iterations in the second manifest
+    import json as _json
+
+    out1 = tmp_path / "run1"
+    out2 = tmp_path / "run2"
+    base = [
+        sys.executable, str(REPO / "jobs" / "pagerank_job.py"),
+        "--edges", REF_1K, "--format", "text",
+        "--tol", "1e-8", "--max-iter", "100",
+        "--partitions", "8", "--master", "local[4]",
+    ]
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    p1 = subprocess.run(base + ["--out", str(out1)], capture_output=True,
+                        text=True, timeout=600, env=env)
+    assert p1.returncode == 0, p1.stderr[-4000:]
+    p2 = subprocess.run(
+        base + ["--out", str(out2), "--init-ranks", str(out1 / "ranks")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p2.returncode == 0, p2.stderr[-4000:]
+    # same fixpoint within tol (the warm run stops one update past the
+    # seed, so the last 10-dp digit may differ; byte-equality is the
+    # checkpoint-resume guarantee, not the warm-start one)
+    parse = lambda p: [
+        (int(m.group(1)), float(m.group(2)))
+        for m in re.finditer(
+            r"node\s+(\d+)\s*:\s*([0-9.eE+-]+)", (p / "topk.txt").read_text()
+        )
+    ]
+    got1, got2 = parse(out1), parse(out2)
+    assert [g[0] for g in got1] == [g[0] for g in got2]
+    for (_, s1), (_, s2) in zip(got1, got2):
+        assert abs(s1 - s2) < 1e-8
+    m1 = _json.loads((out1 / "metrics.json").read_text())
+    m2 = _json.loads((out2 / "metrics.json").read_text())
+    assert m2["converged"]
+    assert m2["iterations"] <= 2  # seeded AT the fixpoint
+    assert m1["iterations"] > m2["iterations"]
