@@ -248,6 +248,50 @@ def hits_numpy(edges, n=None, tol=1e-8, max_iter=100):
     return h, a, it + 1, converged
 
 
+def salsa_numpy(edges, n=None, tol=1e-8, max_iter=100):
+    """SALSA (Lempel & Moran 2000): two stochastic chains on the bipartite
+    hub/authority view. authority: a' = a·(W_c^T W_r); hub: h' = h·(W_r W_c^T)
+    with W_r row-normalized (1/out_deg) and W_c column-normalized (1/in_deg).
+    Init uniform over each chain's support; no renormalization (the chains
+    are stochastic on their support, L1 mass conserved). Returns
+    (hub ndarray, authority ndarray, iterations, converged)."""
+    edges = list(set(edges))  # simple graph
+    if n is None:
+        n = max(max(u, v) for u, v in edges) + 1
+    src = np.array([u for u, _ in edges], dtype=np.int64)
+    dst = np.array([v for _, v in edges], dtype=np.int64)
+    outd = np.zeros(n)
+    ind = np.zeros(n)
+    np.add.at(outd, src, 1.0)
+    np.add.at(ind, dst, 1.0)
+    inv_out = np.divide(1.0, outd, out=np.zeros(n), where=outd > 0)
+    inv_in = np.divide(1.0, ind, out=np.zeros(n), where=ind > 0)
+    hub_support = outd > 0
+    auth_support = ind > 0
+    h = np.where(hub_support, 1.0 / hub_support.sum(), 0.0)
+    a = np.where(auth_support, 1.0 / auth_support.sum(), 0.0)
+    converged = False
+    it = -1
+    for it in range(max_iter):
+        # authority chain: back to hubs (·inv_in of the authority left),
+        # forward to authorities (·inv_out of the hub)
+        t = np.zeros(n)
+        np.add.at(t, src, a[dst] * inv_in[dst])
+        a_new = np.zeros(n)
+        np.add.at(a_new, dst, t[src] * inv_out[src])
+        # hub chain: forward then back
+        u = np.zeros(n)
+        np.add.at(u, dst, h[src] * inv_out[src])
+        h_new = np.zeros(n)
+        np.add.at(h_new, src, u[dst] * inv_in[dst])
+        delta = np.abs(h_new - h).sum() + np.abs(a_new - a).sum()
+        h, a = h_new, a_new
+        if delta < tol:
+            converged = True
+            break
+    return h, a, it + 1, converged
+
+
 def scc_py(edges, nodes=None):
     """Directed SCC; label = min node id in the component. Iterative Tarjan."""
     adj: dict = {}

@@ -1447,3 +1447,66 @@ def test_frontier_topk_deterministic_and_excludes_visited(spark):
     # 10 gets 0.25 + 0.5 = 0.75; 13 gets 0.5; 11/12 get 0.25 (tie -> id asc)
     assert ids == [10, 13, 11]
     assert rows[0].n_links == 2 and rows[0].mass == 0.75
+
+
+def test_salsa_vs_numpy_oracle(spark):
+    from engine.operators.salsa import salsa
+    from oracle import salsa_numpy
+
+    edges = _load_edges(REF_1K, limit=3000)
+    df = _edges_df(spark, edges)
+    # identical deterministic recurrence both sides -> trajectory equality
+    # after the same number of iterations (the hits-oracle contract)
+    res = salsa(df, tol=1e-12, max_iter=30)
+    h_exp, a_exp, iters, conv = salsa_numpy(edges, tol=1e-12, max_iter=30)
+    assert res.iterations == iters == 30
+    got = {r.id: (r.hub, r.authority) for r in res.scores.collect()}
+    for i, (hh, aa) in got.items():
+        assert abs(hh - h_exp[i]) < 1e-9
+        assert abs(aa - a_exp[i]) < 1e-9
+    # stochastic chains conserve L1 mass exactly (no renormalization)
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+
+
+def test_salsa_stationary_is_degree_within_component(spark):
+    """The published SALSA fixed point: on a strongly connected graph the
+    authority chain's stationary distribution is in_deg/Σin_deg and the hub
+    chain's is out_deg/Σout_deg (Lempel & Moran 2000, Thm 3.1 corollary)."""
+    from engine.operators.salsa import salsa
+
+    rng = random.Random(11)
+    n = 40
+    edges = [(i, (i + 1) % n) for i in range(n)]  # cycle => strongly connected
+    edges += [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = sorted(set(edges))
+    m = len(edges)
+    ind: dict[int, int] = {}
+    outd: dict[int, int] = {}
+    for u, v in edges:
+        outd[u] = outd.get(u, 0) + 1
+        ind[v] = ind.get(v, 0) + 1
+    res = salsa(_edges_df(spark, edges), tol=1e-10, max_iter=120, check_every=5)
+    assert res.converged
+    got = {r.id: (r.hub, r.authority) for r in res.scores.collect()}
+    for i in range(n):
+        assert abs(got[i][1] - ind.get(i, 0) / m) < 1e-7
+        assert abs(got[i][0] - outd.get(i, 0) / m) < 1e-7
+
+
+def test_salsa_broadcast_and_shuffle_gather_agree(spark):
+    from engine.operators.salsa import salsa
+
+    edges = _load_edges(REF_1K, limit=2000)
+    df = _edges_df(spark, edges)
+    bc = salsa(df, tol=1e-12, max_iter=15, broadcast_scores=True)
+    sh = salsa(df, tol=1e-12, max_iter=15, broadcast_scores=False)
+    salted = salsa(df, tol=1e-12, max_iter=15, broadcast_scores=False, salt_buckets=8)
+    assert bc.iterations == sh.iterations == salted.iterations
+    b = {r.id: (r.hub, r.authority) for r in bc.scores.collect()}
+    s = {r.id: (r.hub, r.authority) for r in sh.scores.collect()}
+    sl = {r.id: (r.hub, r.authority) for r in salted.scores.collect()}
+    assert set(b) == set(s) == set(sl)
+    for i in b:
+        assert abs(b[i][0] - s[i][0]) < 1e-12 and abs(b[i][1] - s[i][1]) < 1e-12
+        assert abs(b[i][0] - sl[i][0]) < 1e-12 and abs(b[i][1] - sl[i][1]) < 1e-12
