@@ -926,6 +926,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
         )
 
+    def g26_condensation(spark, sf):
+        # condensation DAG of the g9 sparse subgraph: SCC labels mapped onto
+        # the edge list (two hash joins) then a weighted rollup — the web
+        # bowtie's macro-structure (IN -> CORE -> OUT). Oracle = g9's
+        # recursive-CTE closure labelling composed with the same join+count.
+        from engine.operators.scc import condensation
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return condensation(e)
+
     # Key ORDER is the driver's grading window: the first 50 keys get full
     # rows+schema+hash grading (r1-r3 evidence). 49 slots carry oracle-gated
     # queries — including i1b_pagerank_3iter and g6b_hits_2iter, the
@@ -1045,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_frontier_ranking": p5_frontier_ranking,
         "x8_top_bigrams": x8_top_bigrams,
         "g25_salsa_2iter": g25_salsa_2iter,
+        "g26_condensation": g26_condensation,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1445,6 +1460,42 @@ def oracle_sql() -> dict[str, str]:
         "i2b_ppr_3iter": ppr3_sql,
         "g6b_hits_2iter": hits2_sql,
         "g25_salsa_2iter": salsa2_sql,
+        # condensation DAG: the g9 SCC labelling (recursive-CTE reachability
+        # closure -> mutual pairs -> min-id label) composed with the label
+        # mapping of the RAW edge list (duplicates count toward weight)
+        "g26_condensation": """
+            WITH RECURSIVE
+            eraw AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM eraw UNION ALL SELECT dst AS id FROM eraw)
+            ),
+            reach AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT r.a, e2.dst AS b FROM reach r JOIN e e2 ON e2.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS u, r1.b AS v
+                FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+            ),
+            lab AS MATERIALIZED (
+                SELECT n.id AS id, least(n.id, coalesce(min(m.v), n.id)) AS label
+                FROM nodes n LEFT JOIN mutual m ON m.u = n.id
+                GROUP BY n.id
+            )
+            SELECT ls.label AS src_comp, ld.label AS dst_comp,
+                   count(*) AS weight
+            FROM eraw
+            JOIN lab ls ON ls.id = eraw.src
+            JOIN lab ld ON ld.id = eraw.dst
+            WHERE ls.label <> ld.label
+            GROUP BY 1, 2
+        """,
         "f8_semi_join": """
             SELECT o_orderkey FROM orders
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)

@@ -353,3 +353,40 @@ def strongly_connected_components(
     if done is None:
         return nodes.select("id", F.col("id").alias("label"))
     return done.select("id", "label")
+
+
+def condensation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    labels: DataFrame | None = None,
+    **scc_kwargs,
+) -> DataFrame:
+    """Condensation (component) DAG of the directed graph: one row per
+    ordered pair of DISTINCT SCCs connected by at least one original edge,
+    with the cross-edge multiplicity as weight.
+
+    Returns (src_comp BIGINT, dst_comp BIGINT, weight BIGINT). Acyclic by
+    the SCC contraction theorem — a cycle between two components would
+    merge them into one SCC. This is the web bowtie's macro-structure
+    artifact (Broder et al., WWW 2000): IN -> CORE -> OUT as a DAG whose
+    node ids are SCC labels (min vertex id per component), ready for
+    topological scheduling or reachability rollups.
+
+    labels: optionally pass a precomputed (id, label) SCC labelling (e.g.
+    from a checkpointed run) to skip recomputing it. Physical shape: the
+    edge list is mapped through the label table twice — two hash joins on
+    the vertex id — then one groupBy(src_comp, dst_comp) count; weight
+    counts original edge instances (duplicates included — link
+    multiplicity between the two components), self-pairs (same component)
+    are dropped.
+    """
+    if labels is None:
+        labels = strongly_connected_components(edges, nodes=nodes, **scc_kwargs)
+    return (
+        edges.select("src", "dst")
+        .join(labels.select(F.col("id").alias("src"), F.col("label").alias("src_comp")), "src")
+        .join(labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_comp")), "dst")
+        .filter(F.col("src_comp") != F.col("dst_comp"))
+        .groupBy("src_comp", "dst_comp")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

@@ -1510,3 +1510,57 @@ def test_salsa_broadcast_and_shuffle_gather_agree(spark):
     for i in b:
         assert abs(b[i][0] - s[i][0]) < 1e-12 and abs(b[i][1] - s[i][1]) < 1e-12
         assert abs(b[i][0] - sl[i][0]) < 1e-12 and abs(b[i][1] - sl[i][1]) < 1e-12
+
+
+def test_scc_condensation_matches_oracle_and_is_dag(spark):
+    """Condensation DAG vs the Tarjan oracle: exact contracted edge set with
+    multiplicity weights, and acyclicity (the SCC contraction theorem)."""
+    from collections import Counter
+
+    from engine.operators.scc import condensation
+    from oracle import scc_py
+
+    edges = _sparse_graph(n=150, m=400, seed=3)
+    # force non-trivial SCCs: a 3-ring, a 2-ring, and a 5-ring
+    edges += [(10, 11), (11, 12), (12, 10), (20, 21), (21, 20)]
+    edges += [(30, 31), (31, 32), (32, 33), (33, 34), (34, 30)]
+    lab = scc_py(edges)
+    want = Counter(
+        (lab[u], lab[v]) for u, v in edges if lab[u] != lab[v]
+    )
+    got_rows = condensation(_edges_df(spark, edges)).collect()
+    got = {(r.src_comp, r.dst_comp): r.weight for r in got_rows}
+    assert got == dict(want)
+    # Kahn topological sort must consume every component node => acyclic
+    comp_edges = set(got)
+    nodes = {c for pair in comp_edges for c in pair}
+    indeg = {c: 0 for c in nodes}
+    for _, d in comp_edges:
+        indeg[d] += 1
+    queue = [c for c in nodes if indeg[c] == 0]
+    seen = 0
+    while queue:
+        c = queue.pop()
+        seen += 1
+        for s, d in comp_edges:
+            if s == c:
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    queue.append(d)
+    assert seen == len(nodes)
+
+
+def test_scc_condensation_precomputed_labels(spark):
+    """Passing a precomputed labelling skips the SCC recomputation and gives
+    the identical DAG."""
+    from engine.operators.scc import condensation, strongly_connected_components
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (2, 4)]
+    df = _edges_df(spark, edges)
+    labels = strongly_connected_components(df)
+    a = {(r.src_comp, r.dst_comp): r.weight for r in condensation(df).collect()}
+    b = {
+        (r.src_comp, r.dst_comp): r.weight
+        for r in condensation(df, labels=labels).collect()
+    }
+    assert a == b == {(0, 2): 1, (2, 4): 1}
