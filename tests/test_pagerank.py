@@ -338,3 +338,61 @@ def test_warm_start_at_fixpoint_converges_immediately(spark):
         _edges_df(spark, edges), tol=1e-9, max_iter=100, init_ranks=res.ranks
     )
     assert warm.converged and warm.iterations <= 2
+
+
+def test_trustrank_is_seeded_ppr(spark):
+    """trustrank == pagerank(personalization=uniform over seeds) exactly
+    (same kernel, same vector) — the VLDB 2004 definition."""
+    from engine.operators.trustrank import trustrank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    df = _edges_df(spark, edges)
+    seeds = spark.createDataFrame([(0,), (3,)], "id long")
+    tr = trustrank(df, seeds, tol=1e-12, max_iter=80)
+    pers = spark.createDataFrame([(0, 1.0), (3, 1.0)], "id long, weight double")
+    ppr = pagerank(df, personalization=pers, tol=1e-12, max_iter=80)
+    a = {r.id: r.rank for r in tr.ranks.collect()}
+    b = {r.id: r.rank for r in ppr.ranks.collect()}
+    assert a == b
+
+
+def test_spam_mass_vs_numpy_and_farm_detection(spark):
+    """spam_mass = (PR - TrustRank)/PR vs the two NumPy oracles; a spam
+    farm unreachable from every seed gets relative mass exactly 1 (its
+    trust is identically 0), per Gyöngyi et al. 2006."""
+    from engine.operators.trustrank import spam_mass
+    from oracle import pagerank_numpy, personalized_pagerank_numpy
+
+    rng = random.Random(5)
+    n_good = 12
+    # trusted region: ring + chords, seeds {0, 1}
+    edges = [(i, (i + 1) % n_good) for i in range(n_good)]
+    edges += [(rng.randrange(n_good), rng.randrange(n_good)) for _ in range(20)]
+    # spam farm 20..27: dense internal ring + links INTO the good region
+    # (boosting doesn't earn trust: no good page links back)
+    farm = list(range(20, 28))
+    edges += [(u, farm[(i + 1) % len(farm)]) for i, u in enumerate(farm)]
+    edges += [(u, rng.randrange(n_good)) for u in farm]
+    edges = sorted(set(edges))
+    df = _edges_df(spark, edges)
+    seeds = spark.createDataFrame([(0,), (1,)], "id long")
+
+    got = {
+        r.id: (r.rank, r.trust, r.spam_mass)
+        for r in spam_mass(df, seeds, tol=1e-12, max_iter=150).collect()
+    }
+    n = 28
+    pr_exp, _, _ = pagerank_numpy(edges, n=n, tol=1e-12, max_iter=150)
+    tr_exp, _, _ = personalized_pagerank_numpy(
+        edges, {0: 1.0, 1: 1.0}, n=n, tol=1e-12, max_iter=150
+    )
+    for i, (rank, trust, sm) in got.items():
+        assert abs(rank - pr_exp[i]) < 1e-9
+        assert abs(trust - tr_exp[i]) < 1e-9
+        assert abs(sm - (pr_exp[i] - tr_exp[i]) / pr_exp[i]) < 1e-6
+    # the farm is unreachable from the seeds: trust exactly 0, mass exactly 1
+    for u in farm:
+        assert got[u][1] == 0.0
+        assert got[u][2] == 1.0
+    # trusted seeds keep most of their rank as trust (mass well below farm's)
+    assert got[0][2] < 0.5 and got[1][2] < 0.5
