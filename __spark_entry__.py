@@ -962,6 +962,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("spam_mass", 6).alias("spam_mass"),
         )
 
+    def p7_seed_candidates(spark, sf):
+        # TrustRank seed-candidate selection by inverse PageRank (Gyöngyi
+        # et al. 2004 §4.2): the i1b unrolled recurrence on the TRANSPOSED
+        # edge table, top-25 with a deterministic (rank desc, id asc)
+        # tie-break; oracle = the same reversed unrolled SQL + LIMIT.
+        from engine.operators.trustrank import inverse_pagerank_seeds
+
+        e = _edges(spark, sf)
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        top = inverse_pagerank_seeds(
+            e, k=25, nodes=nodes, tol=0.0, max_iter=3, check_every=3
+        )
+        return top.select("id", F.round("rank", 6).alias("rank"))
+
+    def i1e_mc_pagerank_3step(spark, sf):
+        # Monte-Carlo PageRank pinned to 3 steps × 2 walks/node: every
+        # stop/move/jump draw is an md5 content hash (the g12/x6
+        # portability contract), so DuckDB replays the identical walks and
+        # the visit counts match EXACTLY; rank = cnt/total (integer-exact
+        # doubles), round 9.
+        from engine.operators.mc_pagerank import mc_pagerank
+
+        r = mc_pagerank(
+            _edges(spark, sf), num_walks=2, max_len=3, salt="w1", check_every=8
+        )
+        return r.select("id", F.round("rank", 9).alias("rank"))
+
+    def p8_resolve_redirects(spark, sf):
+        # redirect/canonical-chain resolution by pointer doubling over a
+        # derived acyclic mapping (src < dst, min-dst canonical choice):
+        # every URL resolves to its chain terminal with an exact hop count.
+        # Oracle = recursive-CTE chain walk stopping at the terminal.
+        from engine.operators.redirects import resolve_redirects
+
+        li = _t(spark, sf, "lineitem")
+        red = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        ).filter(F.col("src") < F.col("dst"))
+        out = resolve_redirects(red, max_hops=2048)
+        return out.select(
+            "src", "final", F.col("hops").cast("long").alias("hops"), "resolved"
+        )
+
+    def g27_incremental_cc(spark, sf):
+        # append-only warm-start CC: CC(base) labels + only the delta edges
+        # must equal batch CC over base ∪ delta (the star-forest union
+        # identity) — the oracle IS the batch closure over the full table,
+        # so the green row proves the incremental path's equivalence.
+        from engine.operators.components import incremental_components
+
+        li = _t(spark, sf, "lineitem")
+        base = li.filter(F.col("l_quantity") <= 30)
+        delta = li.filter(F.col("l_quantity") > 30)
+
+        def _e(d):
+            return d.select(
+                (F.col("l_orderkey") % 997).alias("src"),
+                (F.col("l_partkey") % 997).alias("dst"),
+            )
+
+        prior = connected_components(_e(base))
+        return incremental_components(_e(delta), prior)
+
     # Key ORDER is the driver's grading window: the first 50 keys get full
     # rows+schema+hash grading (r1-r3 evidence). 49 slots carry oracle-gated
     # queries — including i1b_pagerank_3iter and g6b_hits_2iter, the
@@ -1083,6 +1151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g25_salsa_2iter": g25_salsa_2iter,
         "g26_condensation": g26_condensation,
         "p6_spam_mass": p6_spam_mass,
+        "p7_seed_candidates": p7_seed_candidates,
+        "i1e_mc_pagerank_3step": i1e_mc_pagerank_3step,
+        "p8_resolve_redirects": p8_resolve_redirects,
+        "g27_incremental_cc": g27_incremental_cc,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1348,6 +1420,104 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, CAST(round(rank / (SELECT sum(rank) FROM r3), 6) AS DOUBLE) AS rank
         FROM r3
     """
+    # INVERSE PAGERANK seed candidates: the i1b recurrence on the
+    # TRANSPOSED edge table (src/dst swapped in the edges CTE; pr_parts
+    # reused verbatim), Σ-normalized, top-25 by (v desc, id asc) — the
+    # normalized doubles are engine-identical (i1b evidence), so the LIMIT
+    # boundary set is identical; round 6 applied after the cut
+    rev_pr3_topk_sql = f"""
+        WITH e AS MATERIALIZED (
+            SELECT l_partkey % 997 AS src, l_orderkey % 997 AS dst FROM lineitem),
+        nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        adj AS MATERIALIZED (
+            SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w
+            FROM e JOIN deg d ON d.src = e.src),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+        {','.join(pr_parts)},
+        rn AS MATERIALIZED (
+            SELECT id, rank / (SELECT sum(rank) FROM r3) AS v FROM r3)
+        SELECT id, CAST(round(v, 6) AS DOUBLE) AS rank
+        FROM rn ORDER BY v DESC, id ASC LIMIT 25
+    """
+    # undirected reachability closure: batch CC labelling over the full
+    # derived edge table — used by BOTH g1 (batch kernel) and g27 (the
+    # incremental star-forest path, which must reproduce it exactly)
+    cc_closure_sql = f"""
+        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        und AS (
+            SELECT src AS a, dst AS b FROM e WHERE src <> dst
+            UNION
+            SELECT dst AS a, src AS b FROM e WHERE src <> dst
+        ),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        reach(id, r) AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT re.id, u.b AS r FROM reach re JOIN und u ON u.a = re.r
+        )
+        SELECT id, min(r) AS label FROM reach GROUP BY id
+    """
+
+    # MONTE-CARLO PAGERANK unrolled to 3 steps × 2 walks/node
+    # (mc_pagerank.py): every stop ('#t' tag) / move / jump ('#m') draw is
+    # the md5 hex→uniform arithmetic of g12/x6, replayed bit-for-bit; the
+    # dangling jump maps hash % n through the ascending-id dense index;
+    # visit counts are integer-exact, rank = cnt/total
+    _mc_thr = int(0.85 * (1 << 32))
+
+    def _mc_hash(s: int, tag: str) -> str:
+        return (
+            f"(('0x' || substring(md5(f.cur::VARCHAR || '|' || '{s}' || '|' || "
+            f"f.walk_id::VARCHAR || '|' || 'w1{tag}'), 1, 8))::BIGINT)"
+        )
+
+    mc_steps = ",".join(
+        f"""f{s} AS MATERIALIZED (
+          SELECT w.walk_id, coalesce(a.dst, j.id) AS cur
+          FROM (
+            SELECT f.walk_id, f.cur, d.deg, {_mc_hash(s, '#m')} AS hm,
+                   (SELECT n FROM nn) AS nv
+            FROM f{s - 1} f LEFT JOIN deg d ON d.src = f.cur
+            WHERE {_mc_hash(s, '#t')} < {_mc_thr}
+          ) w
+          LEFT JOIN adj a ON w.deg IS NOT NULL AND a.src = w.cur
+                         AND a.idx = w.hm % w.deg
+          LEFT JOIN jmp j ON w.deg IS NULL
+                         AND j.jidx = w.hm % w.nv
+        )"""
+        for s in range(1, 4)
+    )
+    mc_pagerank3_sql = f"""
+        WITH e AS MATERIALIZED ({_EDGES_SQL}),
+        adjd AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+        adj AS MATERIALIZED (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+            FROM adjd),
+        deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+        nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        jmp AS MATERIALIZED (
+            SELECT row_number() OVER (ORDER BY id) - 1 AS jidx, id FROM nodes),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        f0 AS MATERIALIZED (
+            SELECT id * 2 + rep AS walk_id, id AS cur
+            FROM nodes CROSS JOIN (VALUES (0), (1)) reps(rep)),
+        {mc_steps},
+        visits AS MATERIALIZED (
+            SELECT cur AS node FROM f0
+            UNION ALL SELECT cur FROM f1
+            UNION ALL SELECT cur FROM f2
+            UNION ALL SELECT cur FROM f3),
+        counts AS MATERIALIZED (
+            SELECT node, count(*) AS cnt FROM visits GROUP BY node),
+        tot AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM counts)
+        SELECT n.id,
+               CAST(round(coalesce(c.cnt, 0) / (SELECT t FROM tot), 9) AS DOUBLE) AS rank
+        FROM nodes n LEFT JOIN counts c ON c.node = n.id
+    """
     # SPAM MASS: both recurrences — uniform-teleport pagerank (pr_parts,
     # r0..r3) and seed-teleport trustrank (tr_parts below, t0..t3, uniform
     # pw=1/3 over seeds 2/3/5) — unrolled in ONE query; spam_mass =
@@ -1533,6 +1703,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "i2b_ppr_3iter": ppr3_sql,
         "p6_spam_mass": spam_mass_sql,
+        "p7_seed_candidates": rev_pr3_topk_sql,
+        "i1e_mc_pagerank_3step": mc_pagerank3_sql,
+        # redirect resolution: recursive chain walk over the min-dst
+        # functional mapping; exactly one terminal row per src (acyclic by
+        # the src < dst construction), hops = exact chain length
+        "p8_resolve_redirects": """
+            WITH RECURSIVE
+            raw AS MATERIALIZED (
+                SELECT src, dst FROM (
+                    SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                    FROM lineitem
+                ) WHERE src < dst
+            ),
+            m AS MATERIALIZED (
+                SELECT src, min(dst) AS dst FROM raw GROUP BY src),
+            dom AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw)),
+            walk(src, cur, hops) AS (
+                SELECT id, id, CAST(0 AS BIGINT) FROM dom
+                UNION ALL
+                SELECT w.src, m.dst, w.hops + 1
+                FROM walk w JOIN m ON m.src = w.cur
+            )
+            SELECT w.src, w.cur AS final, w.hops, TRUE AS resolved
+            FROM walk w WHERE w.cur NOT IN (SELECT src FROM m)
+        """,
         "g6b_hits_2iter": hits2_sql,
         "g25_salsa_2iter": salsa2_sql,
         # condensation DAG: the g9 SCC labelling (recursive-CTE reachability
@@ -2042,21 +2239,11 @@ def oracle_sql() -> dict[str, str]:
         # CC exact-label oracle: undirected reachability closure per node,
         # label = min reachable id — grades the large/small-star kernel's
         # exact-match contract (label = min id in component) end-to-end
-        "g1_connected_components": f"""
-            WITH RECURSIVE e AS ({_EDGES_SQL}),
-            und AS (
-                SELECT src AS a, dst AS b FROM e WHERE src <> dst
-                UNION
-                SELECT dst AS a, src AS b FROM e WHERE src <> dst
-            ),
-            nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-            reach(id, r) AS (
-                SELECT id, id AS r FROM nodes
-                UNION
-                SELECT re.id, u.b AS r FROM reach re JOIN und u ON u.a = re.r
-            )
-            SELECT id, min(r) AS label FROM reach GROUP BY id
-        """,
+        "g1_connected_components": cc_closure_sql,
+        # incremental CC grades against the SAME batch closure: the spark
+        # side rebuilds from prior labels + delta only, the oracle reads
+        # the full table — a green row proves the star-forest identity
+        "g27_incremental_cc": cc_closure_sql,
         "g2_label_propagation": lp_sql,
         "g18_lp_modularity": mod_sql,
         "g19_ktruss_3round": ktruss_sql,

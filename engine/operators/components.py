@@ -164,3 +164,40 @@ def connected_components(
         e.select(F.col("b").alias("id"), F.col("s").alias("label")), "id", "left"
     ).select("id", F.coalesce("label", "id").alias("label"))
     return labels
+
+
+def incremental_components(
+    new_edges: DataFrame,
+    prior_labels: DataFrame,
+    **cc_kwargs,
+) -> DataFrame:
+    """Warm-start CC for APPEND-ONLY growth (the monthly-crawl case): given
+    snapshot A's converged labelling and only the edges ADDED since, return
+    snapshot B's labelling without re-reading A's edge set.
+
+    A converged labelling IS a star forest — every (id, label≠id) row is a
+    same-component fact — so running the large-star/small-star alternation
+    over star_edges(prior) ∪ new_edges reproduces CC of the full union.
+    The input is O(|V| + |Δ|) rows instead of O(|E|): at 10¹²-edge scale
+    with a ~1% monthly delta that is the difference between shuffling the
+    whole crawl and shuffling the node table.
+
+    VALIDITY CAVEAT (published limitation — CC is not decremental): prior
+    labels are same-component FACTS, valid only while every edge of A still
+    exists in B. If B removed edges, components can only have split, and a
+    stale fact would glue them back together — recompute from scratch (or
+    from the last snapshot known to be a subset). The node universe is
+    prior ∪ new endpoints, so A's isolated nodes keep their labels.
+    """
+    star = prior_labels.filter(F.col("id") != F.col("label")).select(
+        F.col("label").alias("src"), F.col("id").alias("dst")
+    )
+    nodes = (
+        prior_labels.select("id")
+        .union(new_edges.select(F.col("src").alias("id")))
+        .union(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return connected_components(
+        new_edges.select("src", "dst").union(star), nodes=nodes, **cc_kwargs
+    )

@@ -60,3 +60,22 @@ def spam_mass(edges: DataFrame, seeds: DataFrame, **pagerank_kwargs) -> DataFram
             ((F.col("rank") - F.col("trust")) / F.col("rank")).alias("spam_mass"),
         )
     )
+
+
+def inverse_pagerank_seeds(
+    edges: DataFrame,
+    k: int = 25,
+    nodes: DataFrame | None = None,
+    **pagerank_kwargs,
+) -> DataFrame:
+    """Trusted-seed CANDIDATE selection by inverse PageRank (Gyöngyi et al.
+    VLDB 2004 §4.2): rank pages by PageRank over the TRANSPOSED graph —
+    pages from which many pages are reachable in few steps score high, so
+    vetting them propagates trust widely — and take the top k for human
+    review. Returns (id, rank) with rank the inverse-PageRank score,
+    deterministically tie-broken (rank desc, id asc; planned as
+    TakeOrderedAndProject — per-partition partial top-k, no full sort).
+    """
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    res = pagerank(rev, nodes=nodes, **pagerank_kwargs)
+    return res.ranks.orderBy(F.desc("rank"), F.asc("id")).limit(k)

@@ -1564,3 +1564,58 @@ def test_scc_condensation_precomputed_labels(spark):
         for r in condensation(df, labels=labels).collect()
     }
     assert a == b == {(0, 2): 1, (2, 4): 1}
+
+
+def test_resolve_redirects_chains_cycles_conflicts(spark):
+    from engine.operators.redirects import resolve_redirects
+
+    red = [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 20),
+           (30, 32), (30, 31), (31, 3)]
+    df = _edges_df(spark, red)
+    got = {r.src: (r.final, r.hops, r.resolved)
+           for r in resolve_redirects(df, max_hops=16).collect()}
+    # chain 0->1->2->3: exact hop counts; terminal maps to itself with 0
+    assert got[0] == (3, 3, True)
+    assert got[1] == (3, 2, True)
+    assert got[2] == (3, 1, True)
+    assert got[3] == (3, 0, True)
+    assert got[10] == (11, 1, True) and got[11] == (11, 0, True)
+    # conflicting canonicals collapse to min(dst): 30 -> 31 -> 3
+    assert got[30] == (3, 2, True)
+    assert got[31] == (3, 1, True)
+    assert got[32] == (32, 0, True)
+    # the 2-cycle never resolves
+    assert got[20][2] is False and got[21][2] is False
+    assert set(got) == {0, 1, 2, 3, 10, 11, 20, 21, 30, 31, 32}
+
+
+def test_resolve_redirects_long_chain_log_rounds(spark):
+    """A length-40 chain resolves with hop-exact counts inside the
+    ceil(log2(max_hops)) doubling budget."""
+    from engine.operators.redirects import resolve_redirects
+
+    chain = [(i, i + 1) for i in range(40)]
+    got = {r.src: (r.final, r.hops, r.resolved)
+           for r in resolve_redirects(_edges_df(spark, chain), max_hops=64).collect()}
+    for i in range(41):
+        assert got[i] == (40, 40 - i, True)
+
+
+def test_incremental_components_matches_batch(spark):
+    """Append-only warm start: CC(base) labels + only the delta edges
+    reproduce CC(base ∪ delta) exactly (the star-forest union identity)."""
+    from engine.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+    from oracle import connected_components_py
+
+    all_edges = _sparse_graph(n=300, m=380, seed=21)
+    base, delta = all_edges[:300], all_edges[300:]
+    prior = connected_components(_edges_df(spark, base))
+    inc = incremental_components(_edges_df(spark, delta), prior)
+    got = {r.id: r.label for r in inc.collect()}
+    assert got == connected_components_py(all_edges)
+    # isolated-in-delta nodes from the base keep a label
+    base_nodes = {x for e in base for x in e}
+    assert base_nodes <= set(got)

@@ -396,3 +396,101 @@ def test_spam_mass_vs_numpy_and_farm_detection(spark):
         assert got[u][2] == 1.0
     # trusted seeds keep most of their rank as trust (mass well below farm's)
     assert got[0][2] < 0.5 and got[1][2] < 0.5
+
+
+def test_inverse_pagerank_seed_candidates(spark):
+    """Seed candidates = top-k PageRank of the transposed graph (Gyöngyi et
+    al. 2004 §4.2), vs the NumPy oracle on reversed edges; the top-k is
+    planned as TakeOrderedAndProject (no full sort)."""
+    from engine.operators.trustrank import inverse_pagerank_seeds
+
+    edges = _load_edges(REF_1K)[:3000]
+    df = _edges_df(spark, edges)
+    n = max(max(u, v) for u, v in edges) + 1
+    nodes = spark.range(0, n).select("id")
+    got = inverse_pagerank_seeds(df, k=15, nodes=nodes, tol=1e-12, max_iter=40)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = got.collect()
+    rev = [(v, u) for u, v in edges]
+    exp, _, _ = pagerank_numpy(rev, n=n, tol=1e-12, max_iter=40)
+    order = sorted(range(n), key=lambda i: (-exp[i], i))[:15]
+    assert [r.id for r in rows] == order
+    for r in rows:
+        assert abs(r.rank - exp[r.id]) < 1e-9
+
+
+def _mc_replay_py(edges, num_walks, alpha, max_len, salt):
+    """Pure-Python replay of mc_pagerank's hash arithmetic (the walks.py
+    portability contract): identical md5 draws, identical counts."""
+    import hashlib
+
+    def h32(cur, step, walk, tag):
+        s = f"{cur}|{step}|{walk}|{salt}{tag}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    adj = {}
+    for u, v in sorted(set(edges)):
+        adj.setdefault(u, []).append(v)
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    threshold = int(alpha * (1 << 32))
+    counts = {v: 0 for v in nodes}
+    for start in nodes:
+        for rep in range(num_walks):
+            walk = start * num_walks + rep
+            cur = start
+            counts[cur] += 1
+            for step in range(1, max_len + 1):
+                if h32(cur, step, walk, "#t") >= threshold:
+                    break
+                m = h32(cur, step, walk, "#m")
+                if cur in adj:
+                    cur = adj[cur][m % len(adj[cur])]
+                else:
+                    cur = nodes[m % n]
+                counts[cur] += 1
+    tot = sum(counts.values())
+    return {v: c / tot for v, c in counts.items()}
+
+
+def test_mc_pagerank_exact_hash_replay(spark):
+    """Engine visits == the pure-Python md5 replay, node for node — the
+    determinism/portability contract (same as walks/sampling)."""
+    from engine.operators.mc_pagerank import mc_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 3), (4, 0), (5, 2), (1, 4)]
+    got = {
+        r.id: r.rank
+        for r in mc_pagerank(
+            _edges_df(spark, edges), num_walks=4, max_len=12, salt="s7"
+        ).collect()
+    }
+    want = _mc_replay_py(edges, num_walks=4, alpha=0.85, max_len=12, salt="s7")
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-15
+
+
+def test_mc_pagerank_approximates_exact(spark):
+    """Statistical gate: the complete-path estimate converges on the exact
+    power-iteration vector (1/sqrt(nR) noise + alpha^max_len truncation)."""
+    from engine.operators.mc_pagerank import mc_pagerank
+
+    rng = random.Random(23)
+    n = 60
+    edges = sorted(
+        {(rng.randrange(n), rng.randrange(n)) for _ in range(240)}
+        | {(i, (i + 1) % n) for i in range(n)}
+    )
+    exact, _, _ = pagerank_numpy(edges, n=n, tol=1e-12, max_iter=500)
+    got = {
+        r.id: r.rank
+        for r in mc_pagerank(
+            _edges_df(spark, edges), num_walks=300, max_len=50, salt="mc"
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    diffs = [abs(got[i] - exact[i]) for i in range(n)]
+    assert max(diffs) < 5e-3
+    assert sum(diffs) < 0.05

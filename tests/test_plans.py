@@ -339,3 +339,30 @@ def test_domain_rollup_jvm_only_single_shuffle(spark):
     plan = pi.physical_plan(dg)
     # partial + final hash aggregate pair around the single exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_mc_pagerank_pure_jvm_no_python_boundary(spark):
+    """The MC walk's stop/move/jump draws are Catalyst md5 expressions —
+    no row-at-a-time or Arrow Python eval anywhere in the plan."""
+    from engine.operators.mc_pagerank import mc_pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 13, (i * 5) % 13) for i in range(40)], "src long, dst long"
+    )
+    out = mc_pagerank(edges, num_walks=2, max_len=3, salt="p")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_resolve_redirects_log_round_count(spark):
+    """Pointer doubling runs at most ceil(log2(max_hops)) composition
+    rounds — a 30-hop chain resolves in <= 6 rounds, not 30."""
+    from engine.operators.redirects import resolve_redirects
+
+    red = spark.createDataFrame([(i, i + 1) for i in range(30)], "src long, dst long")
+    m: list = []
+    got = {r.src: r.hops for r in resolve_redirects(red, max_hops=64, metrics=m).collect()}
+    assert got[0] == 30 and got[30] == 0
+    assert len(m) <= 6  # ceil(log2(64)) — a per-hop loop would need 30
+    assert m[-1]["advanced"] is False or len(m) == 6
