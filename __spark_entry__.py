@@ -1030,6 +1030,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prior = connected_components(_e(base))
         return incremental_components(_e(delta), prior)
 
+    def g28_bowtie(spark, sf):
+        # Broder bow-tie macro-structure over the g9 sparse subgraph:
+        # CORE/IN/OUT/TENDRIL/DISCONNECTED per node — pure composition of
+        # the gated SCC, frontier-BFS and CC kernels. Oracle = the g9
+        # closure labelling + three recursive reachability closures.
+        from engine.operators.bowtie import bowtie_classification
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return bowtie_classification(e, max_depth=200)
+
     # Key ORDER is the driver's grading window: the first 50 keys get full
     # rows+schema+hash grading (r1-r3 evidence). 49 slots carry oracle-gated
     # queries — including i1b_pagerank_3iter and g6b_hits_2iter, the
@@ -1155,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i1e_mc_pagerank_3step": i1e_mc_pagerank_3step,
         "p8_resolve_redirects": p8_resolve_redirects,
         "g27_incremental_cc": g27_incremental_cc,
+        "g28_bowtie": g28_bowtie,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1731,6 +1746,68 @@ def oracle_sql() -> dict[str, str]:
             FROM walk w WHERE w.cur NOT IN (SELECT src FROM m)
         """,
         "g6b_hits_2iter": hits2_sql,
+        # bow-tie regions: the g9 SCC closure labelling picks the core
+        # (largest component, min-label tie-break); three more recursive
+        # closures classify IN (backward), OUT (forward), TENDRIL (weak)
+        "g28_bowtie": """
+            WITH RECURSIVE
+            eraw AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM eraw UNION ALL SELECT dst AS id FROM eraw)
+            ),
+            reach AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT r.a, e2.dst AS b FROM reach r JOIN e e2 ON e2.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS u, r1.b AS v
+                FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+            ),
+            lab AS MATERIALIZED (
+                SELECT n.id AS id, least(n.id, coalesce(min(m.v), n.id)) AS label
+                FROM nodes n LEFT JOIN mutual m ON m.u = n.id
+                GROUP BY n.id
+            ),
+            core AS MATERIALIZED (
+                SELECT id FROM lab WHERE label = (
+                    SELECT label FROM (
+                        SELECT label, count(*) AS c FROM lab GROUP BY label)
+                    ORDER BY c DESC, label ASC LIMIT 1)
+            ),
+            fw(id) AS (
+                SELECT id FROM core
+                UNION
+                SELECT e.dst FROM fw JOIN e ON e.src = fw.id
+            ),
+            bw(id) AS (
+                SELECT id FROM core
+                UNION
+                SELECT e.src FROM bw JOIN e ON e.dst = bw.id
+            ),
+            und AS MATERIALIZED (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT dst AS a, src AS b FROM e
+            ),
+            wr(id) AS (
+                SELECT id FROM core
+                UNION
+                SELECT u.b FROM wr JOIN und u ON u.a = wr.id
+            )
+            SELECT n.id,
+                   CASE WHEN n.id IN (SELECT id FROM core) THEN 'CORE'
+                        WHEN n.id IN (SELECT id FROM bw) THEN 'IN'
+                        WHEN n.id IN (SELECT id FROM fw) THEN 'OUT'
+                        WHEN n.id IN (SELECT id FROM wr) THEN 'TENDRIL'
+                        ELSE 'DISCONNECTED' END AS region
+            FROM nodes n
+        """,
         "g25_salsa_2iter": salsa2_sql,
         # condensation DAG: the g9 SCC labelling (recursive-CTE reachability
         # closure -> mutual pairs -> min-id label) composed with the label

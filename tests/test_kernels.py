@@ -1619,3 +1619,79 @@ def test_incremental_components_matches_batch(spark):
     # isolated-in-delta nodes from the base keep a label
     base_nodes = {x for e in base for x in e}
     assert base_nodes <= set(got)
+
+
+def test_bowtie_classification_textbook(spark):
+    """Broder bow-tie on a hand-built graph: 3-cycle core, IN chain, OUT
+    chain, an IN-attached tendril, an IN->OUT tube (both class TENDRIL),
+    and a disconnected pair."""
+    from engine.operators.bowtie import bowtie_classification
+
+    edges = [
+        (0, 1), (1, 2), (2, 0),          # CORE (largest SCC)
+        (10, 0), (11, 10),               # IN
+        (2, 20), (20, 21),               # OUT
+        (10, 30),                        # tendril hanging off IN
+        (11, 40), (40, 21),              # tube IN->OUT bypassing the core
+        (50, 51),                        # disconnected component
+    ]
+    got = {
+        r.id: r.region
+        for r in bowtie_classification(_edges_df(spark, edges)).collect()
+    }
+    assert {i: got[i] for i in (0, 1, 2)} == {i: "CORE" for i in (0, 1, 2)}
+    assert got[10] == got[11] == "IN"
+    assert got[20] == got[21] == "OUT"
+    assert got[30] == got[40] == "TENDRIL"
+    assert got[50] == got[51] == "DISCONNECTED"
+    assert len(got) == 11
+
+
+def test_bowtie_exhaustive_vs_python(spark):
+    """Random sparse digraph vs a brute-force Python classifier."""
+    from engine.operators.bowtie import bowtie_classification
+    from oracle import scc_py
+
+    edges = sorted(set(_sparse_graph(n=120, m=260, seed=9)))
+    # plant a clear giant SCC so 'largest' is unambiguous
+    edges += [(i, i + 1) for i in range(60, 70)] + [(70, 60)]
+    edges = sorted(set(edges))
+    lab = scc_py(edges)
+    from collections import Counter
+
+    sizes = Counter(lab.values())
+    top = max(sizes.values())
+    core_label = min(l for l, c in sizes.items() if c == top)
+    core = {v for v, l in lab.items() if l == core_label}
+    adj, radj, und = {}, {}, {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        radj.setdefault(v, set()).add(u)
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+
+    def closure(seed, g):
+        seen, stack = set(seed), list(seed)
+        while stack:
+            x = stack.pop()
+            for y in g.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return seen
+
+    fwd, bwd, weak = closure(core, adj), closure(core, radj), closure(core, und)
+    want = {}
+    for v in lab:
+        want[v] = (
+            "CORE" if v in core
+            else "IN" if v in bwd
+            else "OUT" if v in fwd
+            else "TENDRIL" if v in weak
+            else "DISCONNECTED"
+        )
+    got = {
+        r.id: r.region
+        for r in bowtie_classification(_edges_df(spark, edges)).collect()
+    }
+    assert got == want
