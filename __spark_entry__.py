@@ -1044,6 +1044,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bowtie_classification(e, max_depth=200)
 
+    def g29_dag_levels(spark, sf):
+        # scheduling levels of the condensation DAG: longest path from any
+        # source component (Bellman-Ford-max rounds) — every level-k
+        # component is processable once levels < k are done. Oracle =
+        # the g26 condensation composed with a recursive longest-path CTE.
+        from engine.operators.bowtie import dag_levels
+        from engine.operators.scc import condensation
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        dag = (
+            condensation(e)
+            .select(
+                F.col("src_comp").alias("src"), F.col("dst_comp").alias("dst")
+            )
+        )
+        return dag_levels(dag, max_depth=200)
+
     # Key ORDER is the driver's grading window: the first 50 keys get full
     # rows+schema+hash grading (r1-r3 evidence). 49 slots carry oracle-gated
     # queries — including i1b_pagerank_3iter and g6b_hits_2iter, the
@@ -1170,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_resolve_redirects": p8_resolve_redirects,
         "g27_incremental_cc": g27_incremental_cc,
         "g28_bowtie": g28_bowtie,
+        "g29_dag_levels": g29_dag_levels,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1809,6 +1831,52 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
         """,
         "g25_salsa_2iter": salsa2_sql,
+        # condensation scheduling levels: the g26 condensation (SCC closure
+        # labelling + cross-component rollup) fed into a recursive
+        # longest-path walk; level = max path length from any source
+        "g29_dag_levels": """
+            WITH RECURSIVE
+            eraw AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM eraw UNION ALL SELECT dst AS id FROM eraw)
+            ),
+            reach AS (
+                SELECT src AS a, dst AS b FROM e
+                UNION
+                SELECT r.a, e2.dst AS b FROM reach r JOIN e e2 ON e2.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS u, r1.b AS v
+                FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+            ),
+            lab AS MATERIALIZED (
+                SELECT n.id AS id, least(n.id, coalesce(min(m.v), n.id)) AS label
+                FROM nodes n LEFT JOIN mutual m ON m.u = n.id
+                GROUP BY n.id
+            ),
+            ce AS MATERIALIZED (
+                SELECT DISTINCT ls.label AS src, ld.label AS dst
+                FROM eraw
+                JOIN lab ls ON ls.id = eraw.src
+                JOIN lab ld ON ld.id = eraw.dst
+                WHERE ls.label <> ld.label
+            ),
+            comps AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM ce UNION ALL SELECT dst AS id FROM ce)
+            ),
+            p(id, d) AS (
+                SELECT id, CAST(0 AS BIGINT) FROM comps
+                UNION
+                SELECT ce.dst, p.d + 1 FROM p JOIN ce ON ce.src = p.id
+            )
+            SELECT id, max(d) AS level FROM p GROUP BY id
+        """,
         # condensation DAG: the g9 SCC labelling (recursive-CTE reachability
         # closure -> mutual pairs -> min-id label) composed with the label
         # mapping of the RAW edge list (duplicates count toward weight)

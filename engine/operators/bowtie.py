@@ -90,3 +90,63 @@ def bowtie_classification(
             .alias("region"),
         )
     )
+
+
+def dag_levels(
+    dag_edges: DataFrame,
+    max_depth: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Longest-path level of every node of a DAG: (id, level) with level 0
+    for sources (no in-edges) and level(v) = 1 + max over predecessors —
+    the crawl/ETL scheduling order of a condensation DAG (scc.condensation
+    output: every level-k component can be processed once levels < k are
+    done). Bellman-Ford-max: d_k(v) = max(d_{k-1}(v), max_{u→v} d_{k-1}(u)+1),
+    converged when a round changes nothing (≤ DAG-depth rounds, each one
+    src-keyed join + max aggregate — the gather shape again).
+
+    Raises after max_depth rounds without convergence — on a cyclic input
+    levels would grow forever, so the bound doubles as a cycle guard.
+    """
+    spark = dag_edges.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = dag_edges.select("src", "dst").distinct().repartition(P, "src").persist()
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    d = nodes.select("id", F.lit(0).cast("long").alias("level")).repartition(
+        P, "id"
+    ).localCheckpoint(eager=True)
+
+    for rnd in range(1, max_depth + 1):
+        relaxed = (
+            e.join(d.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("level") + 1).alias("cand"))
+        )
+        new = (
+            d.join(relaxed, "id", "left")
+            .select("id", F.greatest("level", F.coalesce("cand", F.lit(0))).alias("level"))
+            .repartition(P, "id")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(d.withColumnRenamed("level", "old"), "id")
+            .filter(F.col("level") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        d = new
+        if changed == 0:
+            e.unpersist()
+            return d
+    e.unpersist()
+    raise RuntimeError(
+        f"dag_levels did not converge within max_depth={max_depth} rounds — "
+        "input has a cycle or a longer path; condense cycles first "
+        "(scc.condensation) or raise max_depth"
+    )

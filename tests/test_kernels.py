@@ -1695,3 +1695,54 @@ def test_bowtie_exhaustive_vs_python(spark):
         for r in bowtie_classification(_edges_df(spark, edges)).collect()
     }
     assert got == want
+
+
+def test_dag_levels_longest_path_and_cycle_guard(spark):
+    from engine.operators.bowtie import dag_levels
+    import pytest as _pytest
+
+    dag = [(0, 1), (1, 2), (0, 2), (2, 5), (3, 2), (4, 5), (6, 0)]
+    got = {r.id: r.level for r in dag_levels(_edges_df(spark, dag)).collect()}
+    # longest path from any source: 6->0->1->2->5
+    assert got == {6: 0, 3: 0, 4: 0, 0: 1, 1: 2, 2: 3, 5: 4}
+    with _pytest.raises(RuntimeError, match="cycle"):
+        dag_levels(_edges_df(spark, [(0, 1), (1, 0)]), max_depth=8)
+
+
+def test_dag_levels_of_condensation(spark):
+    """Condensation -> dag_levels = the component scheduling order; checked
+    against a Python longest-path over the Tarjan condensation."""
+    from engine.operators.bowtie import dag_levels
+    from engine.operators.scc import condensation
+    from oracle import scc_py
+
+    edges = sorted(set(_sparse_graph(n=100, m=220, seed=17)))
+    edges += [(5, 6), (6, 7), (7, 5), (50, 51), (51, 50)]
+    edges = sorted(set(edges))
+    lab = scc_py(edges)
+    ce = {(lab[u], lab[v]) for u, v in edges if lab[u] != lab[v]}
+    import functools
+
+    succ = {}
+    for a, b in ce:
+        succ.setdefault(a, set()).add(b)
+    comps = {c for p in ce for c in p}
+
+    pred = {}
+    for a, b in ce:
+        pred.setdefault(b, set()).add(a)
+
+    @functools.lru_cache(maxsize=None)
+    def lvl(c):
+        ps = pred.get(c)
+        return 0 if not ps else 1 + max(lvl(p) for p in ps)
+
+    want = {c: lvl(c) for c in comps}
+    dag = condensation(_edges_df(spark, edges)).select("src_comp", "dst_comp")
+    got = {
+        r.id: r.level
+        for r in dag_levels(
+            dag.withColumnRenamed("src_comp", "src").withColumnRenamed("dst_comp", "dst")
+        ).collect()
+    }
+    assert got == want
