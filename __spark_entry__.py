@@ -1065,6 +1065,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dag_levels(dag, max_depth=200)
 
+    def a18_powerlaw_mle(spark, sf):
+        # discrete power-law exponent of the in-degree tail (CSN 2009 MLE)
+        # — the classic web-graph degree diagnostic; oracle recomputes the
+        # identical count + ln-sum arithmetic, round 6 for libm-ulp drift.
+        from engine.operators.graph import powerlaw_alpha_mle
+
+        out = powerlaw_alpha_mle(_edges(spark, sf), k_min=5)
+        return out.select("k_min", "n_tail", F.round("alpha", 6).alias("alpha"))
+
     # Key ORDER is the driver's grading window: the first 50 keys get full
     # rows+schema+hash grading (r1-r3 evidence). 49 slots carry oracle-gated
     # queries — including i1b_pagerank_3iter and g6b_hits_2iter, the
@@ -1192,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g27_incremental_cc": g27_incremental_cc,
         "g28_bowtie": g28_bowtie,
         "g29_dag_levels": g29_dag_levels,
+        "a18_powerlaw_mle": a18_powerlaw_mle,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1831,6 +1841,16 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
         """,
         "g25_salsa_2iter": salsa2_sql,
+        # power-law MLE (CSN 2009 eq. 3.7) over the in-degree tail
+        "a18_powerlaw_mle": f"""
+            WITH deg AS (
+                SELECT dst, count(*) AS k FROM ({_EDGES_SQL}) GROUP BY dst),
+            tail AS (SELECT k FROM deg WHERE k >= 5)
+            SELECT CAST(5 AS BIGINT) AS k_min,
+                   count(*) AS n_tail,
+                   CAST(round(1.0 + count(*) / sum(ln(k / 4.5)), 6) AS DOUBLE) AS alpha
+            FROM tail
+        """,
         # condensation scheduling levels: the g26 condensation (SCC closure
         # labelling + cross-component rollup) fed into a recursive
         # longest-path walk; level = max path length from any source

@@ -296,3 +296,30 @@ def graph_summary(edges: DataFrame, num_nodes: int, dangling_count: int) -> dict
     """N / M / dangling counts (pagerank_gpu.cu:420-427)."""
     m = edges.count()
     return {"n": num_nodes, "m": m, "dangling": dangling_count}
+
+
+def powerlaw_alpha_mle(edges: DataFrame, k_min: int = 5, direction: str = "in") -> DataFrame:
+    """Discrete power-law exponent of the degree distribution by maximum
+    likelihood (Clauset, Shalizi, Newman, SIAM Review 2009, eq. 3.7):
+
+        α ≈ 1 + n_tail / Σ_{k_i ≥ k_min} ln(k_i / (k_min − ½))
+
+    The standard web-graph diagnostic — Broder et al. report α ≈ 2.1 for
+    in-degree. One row: (k_min, n_tail, alpha DOUBLE). direction: 'in'
+    (default, the classic fit) or 'out'. Pure aggregates — a groupBy
+    degree count, a filter, one ln-sum — nothing iterative, no driver
+    data beyond the single result row.
+    """
+    if direction not in ("in", "out"):
+        raise ValueError("direction must be 'in' or 'out'")
+    key = "dst" if direction == "in" else "src"
+    deg = edges.groupBy(key).agg(F.count(F.lit(1)).alias("k"))
+    tail = deg.filter(F.col("k") >= k_min)
+    return tail.agg(
+        F.lit(k_min).cast("long").alias("k_min"),
+        F.count(F.lit(1)).alias("n_tail"),
+        (
+            F.lit(1.0)
+            + F.count(F.lit(1)) / F.sum(F.log(F.col("k") / (F.lit(k_min) - F.lit(0.5))))
+        ).alias("alpha"),
+    )

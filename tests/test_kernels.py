@@ -1746,3 +1746,24 @@ def test_dag_levels_of_condensation(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_powerlaw_mle_vs_numpy(spark):
+    """CSN discrete MLE vs the same formula in NumPy on the reference 1k
+    graph's in-degree tail."""
+    import math
+
+    from engine.operators.graph import powerlaw_alpha_mle
+
+    edges = _load_edges(REF_1K)
+    row = powerlaw_alpha_mle(_edges_df(spark, edges), k_min=5).collect()[0]
+    from collections import Counter
+
+    indeg = Counter(v for _, v in edges)
+    tail = [k for k in indeg.values() if k >= 5]
+    alpha = 1.0 + len(tail) / sum(math.log(k / 4.5) for k in tail)
+    assert row.k_min == 5 and row.n_tail == len(tail)
+    assert abs(row.alpha - alpha) < 1e-9
+    # out-direction runs too and differs (different tail)
+    row_out = powerlaw_alpha_mle(_edges_df(spark, edges), k_min=5, direction="out").collect()[0]
+    assert row_out.n_tail > 0
