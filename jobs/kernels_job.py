@@ -12,6 +12,10 @@ metadata:
   kcore/ (id, degree)     k-core peel survivors (--kcore-k, default 3)
   coreness/ (id, core)    exact core numbers (h-index iteration)
   scc/   (id, label)      strongly connected components (trim + FB coloring)
+  salsa/ (id, hub, authority)  SALSA stochastic hub/authority chains
+  bowtie/ (id, region)    Broder CORE/IN/OUT/TENDRIL/DISCONNECTED regions
+  condense/ (src_comp, dst_comp, weight) + dag_levels/ (id, level)
+                          SCC condensation DAG and its scheduling levels
 
 --edges-table reads a bucketed catalog table (engine/sources/bucketed.py,
 written by jobs/bucketize_job.py) instead of --edges: the src-clustering
@@ -135,6 +139,38 @@ def main(argv=None):
             cn.write.mode("overwrite").parquet(os.path.join(args.out, "coreness"))
         meta["coreness_rounds"] = len(cn_metrics.get("coreness_rounds", []))
         meta["coreness_sec"] = round(time.time() - t0, 3)
+
+    if "salsa" in wanted:
+        from engine.operators.salsa import salsa
+
+        t0 = time.time()
+        res = salsa(edges, max_iter=args.max_iter)
+        res.scores.write.mode("overwrite").parquet(os.path.join(args.out, "salsa"))
+        meta["salsa_iterations"] = res.iterations
+        meta["salsa_converged"] = res.converged
+        meta["salsa_sec"] = round(time.time() - t0, 3)
+    if "bowtie" in wanted:
+        from engine.operators.bowtie import bowtie_classification
+
+        t0 = time.time()
+        bt = bowtie_classification(edges, max_depth=args.max_iter)
+        bt.write.mode("overwrite").parquet(os.path.join(args.out, "bowtie"))
+        meta["bowtie_sec"] = round(time.time() - t0, 3)
+    if "condense" in wanted:
+        from engine.operators.bowtie import dag_levels
+        from engine.operators.scc import condensation
+
+        t0 = time.time()
+        dag = condensation(edges, max_outer=args.max_iter)
+        dag.write.mode("overwrite").parquet(os.path.join(args.out, "condense"))
+        lv = dag_levels(
+            dag.select(
+                dag.src_comp.alias("src"), dag.dst_comp.alias("dst")
+            ),
+            max_depth=max(args.max_iter, 100),
+        )
+        lv.write.mode("overwrite").parquet(os.path.join(args.out, "dag_levels"))
+        meta["condense_sec"] = round(time.time() - t0, 3)
 
     with open(os.path.join(args.out, "kernels.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -192,7 +192,8 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
         [
             sys.executable, str(REPO / "jobs" / "kernels_job.py"),
             "--edges-table", "t_e2e_bucketed", "--out", str(out),
-            "--kernels", "kcore,coreness,scc", "--kcore-k", "3",
+            "--kernels", "kcore,coreness,scc,salsa,bowtie,condense",
+            "--kcore-k", "3",
             "--warehouse", str(wh), "--metastore-dir", str(tmp_path / "ms"),
             "--master", "local[8]", "--partitions", "8",
         ],
@@ -213,6 +214,24 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
         [l for l in proc2.stdout.splitlines() if l.startswith("{")][-1]
     )
     assert meta2["scc_outer_rounds"] >= 1
+    # late-r4 kernels through the same job CLI + bucketed-table path
+    sal = pq.read_table(out / "salsa").to_pandas()
+    assert set(sal.columns) == {"id", "hub", "authority"}
+    assert abs(sal["hub"].sum() - 1.0) < 1e-9 and abs(sal["authority"].sum() - 1.0) < 1e-9
+    bt = pq.read_table(out / "bowtie").to_pandas()
+    assert set(bt["region"]) <= {"CORE", "IN", "OUT", "TENDRIL", "DISCONNECTED"}
+    assert len(bt) == len(sc)
+    dag = pq.read_table(out / "condense").to_pandas()
+    lv = pq.read_table(out / "dag_levels").to_pandas()
+    comp_edges = set(zip(dag["src_comp"], dag["dst_comp"]))
+    lab = scc_py(rows)
+    assert comp_edges == {(lab[u], lab[v]) for u, v in rows if lab[u] != lab[v]}
+    # a fully-strongly-connected input condenses to a single node: the DAG
+    # (and its levels) are then legitimately empty
+    if comp_edges:
+        assert lv["level"].min() == 0
+    else:
+        assert len(lv) == 0
 
 
 def test_pagerank_job_warm_start_roundtrip(tmp_path):
