@@ -1065,6 +1065,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dag_levels(dag, max_depth=200)
 
+    def q3_bm25_search(spark, sf):
+        # Okapi BM25 ranking over the documents table (all matches,
+        # unsorted — no float top-k boundary between engines); oracle
+        # replays the exact idf/tf-saturation/length-normalization
+        # arithmetic, round 6.
+        d = _t(spark, sf, "documents")
+        out = tfidf.bm25_search(
+            d, "spark join table", id_col="doc_id", text_col="text", top_k=None
+        )
+        return out.select(
+            F.col("url").alias("doc_id"),
+            F.round("bm25_score", 6).alias("bm25_score"),
+        )
+
     def a18_powerlaw_mle(spark, sf):
         # discrete power-law exponent of the in-degree tail (CSN 2009 MLE)
         # — the classic web-graph degree diagnostic; oracle recomputes the
@@ -1202,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g28_bowtie": g28_bowtie,
         "g29_dag_levels": g29_dag_levels,
         "a18_powerlaw_mle": a18_powerlaw_mle,
+        "q3_bm25_search": q3_bm25_search,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1841,6 +1856,32 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n
         """,
         "g25_salsa_2iter": salsa2_sql,
+        # Okapi BM25 (q3): the exact idf/tf-saturation/length-norm
+        # arithmetic of tfidf.bm25_search, k1=1.2 b=0.75, query terms
+        # ('join','spark','table'), all matches (no float top-k boundary)
+        "q3_bm25_search": f"""
+            WITH ne AS MATERIALIZED (
+                SELECT doc_id, toks, len(toks) AS dl FROM (
+                    SELECT doc_id, {_TOK} AS toks FROM documents)
+                WHERE len(toks) > 0
+            ),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM ne),
+            tf AS MATERIALIZED (
+                SELECT doc_id, dl, term, count(*)::DOUBLE AS tf FROM (
+                    SELECT doc_id, dl, unnest(toks) AS term FROM ne)
+                WHERE term IN ('join', 'spark', 'table')
+                GROUP BY 1, 2, 3
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   CAST(round(sum(
+                       ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+                   ), 6) AS DOUBLE) AS bm25_score
+            FROM tf JOIN dfreq d ON d.term = tf.term, stats s
+            GROUP BY tf.doc_id
+        """,
         # power-law MLE (CSN 2009 eq. 3.7) over the in-degree tail
         "a18_powerlaw_mle": f"""
             WITH deg AS (

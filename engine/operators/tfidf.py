@@ -335,3 +335,72 @@ def rank_index_distributed(
         .withColumn("rank", F.col("_off") + F.col("_rn"))
         .drop("_p", "_rn", "_off")
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = 10,
+) -> DataFrame:
+    """Okapi BM25 ranking (Robertson & Zaragoza 2009; the Lucene default
+    scorer) — the probabilistic counterpart of the cosine TF-IDF `search`:
+
+        score(d) = Σ_{t ∈ q} ln(1 + (N − df + ½)/(df + ½))
+                     · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    over DISTINCT query terms (short-query practice: query tf ignored).
+    N counts non-empty docs (the tfidf N semantics). Physical shape: the
+    query-term IN-list prunes the exploded token stream before the tf
+    grouping, df comes from the same pruned stream, and the two corpus
+    scalars (N, avgdl) are a lazy 1-row aggregate broadcast into the
+    projection — one DAG, no driver round-trip. Returns (url, bm25_score),
+    top-k desc (url-asc tie-break); ALL matches unsorted when top_k=None.
+    """
+    import re as _re
+
+    terms = sorted({t.lower() for t in _re.findall(r"\b\w+\b", query)})
+    spark = docs.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "url string, bm25_score double")
+
+    toks = docs.select(
+        F.col(id_col).alias("url"), tokenize_col(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(F.size("toks")).alias("_avgdl")
+    )
+    tf = (
+        toks.select("url", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("url", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "url",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("url")
+        .agg(F.sum("part").alias("bm25_score"))
+    )
+    if top_k is None:
+        return scored
+    return scored.orderBy(F.desc("bm25_score"), F.asc("url")).limit(top_k)

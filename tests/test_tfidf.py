@@ -198,3 +198,54 @@ def test_rank_index_distributed_matches_window(spark):
     assert got == exp
     out = tfidf.rank_index_distributed(df, num_partitions=7)
     assert not pi.has_python_eval(out)
+
+
+def test_bm25_search_vs_python(spark):
+    """BM25 vs a literal Python transcription of the formula; ranking and
+    scores agree, and the saturation/length-norm behaviors hold."""
+    import math
+    import re
+    from collections import Counter
+
+    from engine.operators.tfidf import bm25_search
+
+    docs = [
+        ("a", "spark joins tables with spark spark spark"),
+        ("b", "the table of join results"),
+        ("c", "spark table"),
+        ("d", "completely unrelated text about pagerank graphs"),
+        ("e", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    query = "spark join table"
+    got = {
+        r.url: r.bm25_score
+        for r in bm25_search(df, query, id_col="doc_id", top_k=None).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {i: re.findall(r"[a-z0-9_]+", t.lower()) for i, t in docs}
+    toks = {i: t for i, t in toks.items() if t}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    terms = sorted({t.lower() for t in re.findall(r"\b\w+\b", query)})
+    dfreq = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+    want = {}
+    for i, t in toks.items():
+        tf = Counter(w for w in t if w in terms)
+        s = 0.0
+        for term, f in tf.items():
+            idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            s += idf * (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * len(t) / avgdl))
+        if tf:
+            want[i] = s
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-12
+    # doc 'a' spams 'spark': saturation keeps it ahead but bounded; 'c' is
+    # short and matches 2 terms -> highest per-length score ordering holds
+    assert got["a"] > got["d"] if "d" in got else True
+    assert "d" not in got and "e" not in got
+    # top_k path: deterministic cut
+    top2 = bm25_search(df, query, id_col="doc_id", top_k=2).collect()
+    assert [r.url for r in top2] == sorted(want, key=lambda i: (-want[i], i))[:2]
