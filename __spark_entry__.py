@@ -1088,6 +1088,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = powerlaw_alpha_mle(_edges(spark, sf), k_min=5)
         return out.select("k_min", "n_tail", F.round("alpha", 6).alias("alpha"))
 
+    def x9_repetition_stats(spark, sf):
+        # Gopher repetition quality filters (Rae et al. 2021 Table A1): the
+        # synthetic docs are single-line, so the contract run treats each
+        # token as a "line" (line_sep=" ") to put real nonzero values
+        # through the dup-line arithmetic; the newline path is exact-gated
+        # in pytest on hand-built multi-line docs.
+        d = _t(spark, sf, "documents")
+        out = textstats.repetition_stats(d, ngram_n=2, line_sep=" ")
+        return out.select(
+            "doc_id",
+            "n_lines",
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+            "n_ngrams",
+            F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+            F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+        )
+
+    def d6_cross_dup_ngrams(spark, sf):
+        # Lee et al. 2022 ExactSubstr proxy: per-doc share of word-5-gram
+        # positions whose gram occurs in >= 2 distinct docs (~1.1k such
+        # grams at sf0.01). Docs with < 5 tokens have no spans and are
+        # absent by contract.
+        d = _t(spark, sf, "documents")
+        out = dedupe.cross_doc_ngram_dups(d, n=5, min_docs=2)
+        return out.select(
+            "doc_id",
+            "n_positions",
+            "dup_positions",
+            F.round("dup_frac", 6).alias("dup_frac"),
+        )
+
     # Key ORDER is the driver's grading window: the first 50 keys get full
     # rows+schema+hash grading (r1-r3 evidence). 49 slots carry oracle-gated
     # queries — including i1b_pagerank_3iter and g6b_hits_2iter, the
@@ -1217,6 +1249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g29_dag_levels": g29_dag_levels,
         "a18_powerlaw_mle": a18_powerlaw_mle,
         "q3_bm25_search": q3_bm25_search,
+        "x9_repetition_stats": x9_repetition_stats,
+        "d6_cross_dup_ngrams": d6_cross_dup_ngrams,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -2920,5 +2954,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram LIMIT 100
+        """,
+        "x9_repetition_stats": f"""
+            WITH l AS (
+                SELECT doc_id, trim(x) AS line
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS x
+                      FROM documents)
+                WHERE trim(x) <> ''
+            ), pl AS (
+                SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2
+            ), ls AS (
+                SELECT doc_id,
+                       sum(c) AS n_lines,
+                       1.0 - count(*) / sum(c) AS dlf,
+                       coalesce(sum(CASE WHEN c > 1 THEN c * length(line) END), 0)
+                           / sum(c * length(line)) AS dlcf
+                FROM pl GROUP BY doc_id
+            ), toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), gr AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> t[i] || ' ' || t[i + 1])) AS g
+                FROM toks WHERE len(t) >= 2
+            ), pg AS (
+                SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2
+            ), gs AS (
+                SELECT doc_id,
+                       sum(c) AS n_ngrams,
+                       1.0 - count(*) / sum(c) AS dnf,
+                       max(c) / sum(c) AS tnf
+                FROM pg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+                   round(coalesce(ls.dlf, 0), 6) AS dup_line_frac,
+                   round(coalesce(ls.dlcf, 0), 6) AS dup_line_char_frac,
+                   CAST(coalesce(gs.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   round(coalesce(gs.dnf, 0), 6) AS dup_ngram_frac,
+                   round(coalesce(gs.tnf, 0), 6) AS top_ngram_frac
+            FROM documents d
+            LEFT JOIN ls USING (doc_id)
+            LEFT JOIN gs USING (doc_id)
+        """,
+        "d6_cross_dup_ngrams": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), gr AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 4),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+                FROM toks WHERE len(t) >= 5
+            ), dg AS (
+                SELECT g FROM (
+                    SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY g
+                ) WHERE df >= 2
+            )
+            SELECT gr.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_positions,
+                   CAST(coalesce(sum(CASE WHEN dg.g IS NOT NULL THEN 1 END), 0)
+                        AS BIGINT) AS dup_positions,
+                   round(coalesce(sum(CASE WHEN dg.g IS NOT NULL THEN 1 END), 0)
+                         * 1.0 / count(*), 6) AS dup_frac
+            FROM gr LEFT JOIN dg USING (g)
+            GROUP BY gr.doc_id
         """,
     }

@@ -410,3 +410,69 @@ def simhash_near_pairs(
         )
         cand = cand.union(star)
     return cand.distinct().filter(F.col("hamming") <= max_hamming)
+
+
+def cross_doc_ngram_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Fixed-length proxy for exact-substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — ExactSubstr):
+    a word n-gram occurring in >= ``min_docs`` distinct documents marks a
+    cross-document duplicated span; per document we report how many of its
+    n-gram positions sit inside such spans. Downstream pipelines drop or
+    trim docs with high ``dup_frac`` (the paper cuts 50-token spans; the
+    n-gram grid is the shuffle-friendly approximation of its suffix array).
+
+    Output, one row per doc with >= n tokens (shorter docs have no spans):
+      (id_col, n_positions BIGINT, dup_positions BIGINT, dup_frac DOUBLE)
+
+    Scale shape: the gram table is one row per token position — the same
+    O(corpus tokens) working set as the suffix array. The distinct-doc
+    count per gram is a map-side-combinable count after an (id, gram)
+    distinct, and the span-marking join probes exactly ONE build row per
+    gram key, so boilerplate grams shared by 100k docs contribute 100k
+    probe rows, never 100k^2 pairs (the k^2 class the LSH kernels cap does
+    not exist here); probe-side key skew is the AQE skew-join case, which
+    splits cleanly against a one-row-per-key build side. The gram frame
+    feeds three subplans (per-gram DF, per-doc totals, span marking), so it
+    is pinned — release via `pin_scope()` / `release_all_pins()`.
+    """
+    from engine.operators.textstats import ngrams_col
+
+    g = _pin(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(ngrams_col(F.col(text_col), n)).alias("g"),
+        )
+    )
+    gram_df = g.distinct().groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    dup_grams = gram_df.where(F.col("df") >= min_docs).select("g")
+    if metrics is not None:
+        row = gram_df.agg(
+            F.count(F.lit(1)).alias("grams"),
+            F.sum(F.when(F.col("df") >= min_docs, 1).otherwise(0)).alias("dup"),
+        ).first()
+        metrics["grams_distinct"] = int(row["grams"])
+        metrics["grams_cross_duplicated"] = int(row["dup"] or 0)
+
+    total = g.groupBy("id").agg(F.count(F.lit(1)).alias("n_positions"))
+    dup = (
+        g.join(dup_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dup_positions"))
+    )
+    dup_pos = F.coalesce("dup_positions", F.lit(0))
+    return (
+        total.join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_positions",
+            dup_pos.cast("long").alias("dup_positions"),
+            (dup_pos / F.col("n_positions")).alias("dup_frac"),
+        )
+    )

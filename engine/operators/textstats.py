@@ -145,3 +145,82 @@ def top_ngrams(
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style per-document repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", repetition filters in Table A1; the same family is applied by
+    RefinedWeb and Dolma): documents dominated by repeated lines or repeated
+    n-grams are boilerplate/spam and get dropped before LM training.
+
+    Output, one row per input doc:
+      (id_col, n_lines BIGINT, dup_line_frac DOUBLE, dup_line_char_frac
+       DOUBLE, n_ngrams BIGINT, dup_ngram_frac DOUBLE, top_ngram_frac DOUBLE)
+
+    - dup_line_frac      = 1 - distinct_lines / line_occurrences
+    - dup_line_char_frac = chars in lines whose (trimmed) content occurs
+                           more than once / total line chars
+    - dup_ngram_frac     = 1 - distinct_ngrams / ngram_occurrences
+                           (word n-grams from the reference tokenizer)
+    - top_ngram_frac     = occurrences of the modal n-gram / occurrences
+    Docs with no non-blank lines (resp. < ngram_n tokens) get 0 counts and
+    0.0 fractions. ``line_sep`` is a Java regex (default: newline).
+
+    Scale shape: two explode -> groupBy passes (line units, gram units),
+    each map-side combinable on (id, unit) then reduced per id, joined back
+    on id — the join reuses the hash partitioning the aggregates already
+    produced, so no extra exchange. Per-doc reducer state is bounded by the
+    doc's own distinct units. The tempting single-pass per-row alternative
+    (transform(array_distinct(units), u -> size(filter(units, x = u)))) is
+    O(len^2) per document and melts on long pages; this stays linear.
+    """
+    id_ = F.col(id_col)
+
+    lines_arr = F.filter(
+        F.split(F.col(text_col), line_sep), lambda x: F.trim(x) != ""
+    )
+    ln = docs.select(id_.alias("id"), F.explode(lines_arr).alias("raw")).select(
+        "id", F.trim(F.col("raw")).alias("line")
+    )
+    per_line = ln.groupBy("id", "line").agg(F.count(F.lit(1)).alias("c"))
+    occ_chars = F.col("c") * F.length("line")
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_line_frac"),
+        (
+            F.coalesce(F.sum(F.when(F.col("c") > 1, occ_chars)), F.lit(0))
+            / F.sum(occ_chars)
+        ).alias("dup_line_char_frac"),
+    )
+
+    g = docs.select(
+        id_.alias("id"), F.explode(ngrams_col(F.col(text_col), ngram_n)).alias("g")
+    )
+    per_gram = g.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    gram_stats = per_gram.groupBy("id").agg(
+        F.sum("c").alias("n_ngrams"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c")).alias("dup_ngram_frac"),
+        (F.max("c") / F.sum("c")).alias("top_ngram_frac"),
+    )
+
+    return (
+        docs.select(id_.alias("id"))
+        .join(line_stats, "id", "left")
+        .join(gram_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+        )
+    )

@@ -491,3 +491,60 @@ def test_generate_embeddings_deterministic_and_clustered(spark):
             if i < j:
                 (same if cid[i] == cid[j] else cross).append(float(vecs[i] @ vecs[j]))
     assert np.mean(same) > np.mean(cross) + 0.2
+
+
+def test_cross_doc_ngram_dups_vs_python_oracle(spark):
+    import re
+    from collections import defaultdict
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),   # shares the 5-gram prefix span
+        (3, "one two three four five six seven"),    # unique content
+        (4, "alpha beta gamma delta epsilon zeta"),  # exact dup of doc 1
+        (5, "too short"),                            # < n tokens -> no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 5
+    got = {
+        r.doc_id: r
+        for r in dedupe.cross_doc_ngram_dups(df, n=n, min_docs=2).collect()
+    }
+
+    grams_by_doc, docs_by_gram = {}, defaultdict(set)
+    for doc_id, text in rows:
+        toks = re.findall(r"\w+", text.lower())
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        grams_by_doc[doc_id] = grams
+        for g in grams:
+            docs_by_gram[g].add(doc_id)
+
+    expected_ids = {d for d, g in grams_by_doc.items() if g}
+    assert set(got) == expected_ids  # doc 5 absent (no spans)
+    for doc_id in expected_ids:
+        grams = grams_by_doc[doc_id]
+        dup = sum(1 for g in grams if len(docs_by_gram[g]) >= 2)
+        r = got[doc_id]
+        assert (r.n_positions, r.dup_positions) == (len(grams), dup), doc_id
+        assert abs(r.dup_frac - dup / len(grams)) < 1e-12
+
+    # exact dup pair saturates; unique doc has zero duplicated spans
+    assert got[1].dup_frac == got[4].dup_frac == 1.0
+    assert got[3].dup_positions == 0
+
+
+def test_cross_doc_ngram_dups_metrics_and_scale_shape(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    metrics = {}
+    from engine.operators._pins import pin_scope
+
+    with pin_scope():
+        out = dedupe.cross_doc_ngram_dups(docs, n=5, min_docs=2, metrics=metrics)
+        rows = out.collect()
+    assert metrics["grams_distinct"] > 0
+    assert 0 <= metrics["grams_cross_duplicated"] <= metrics["grams_distinct"]
+    assert all(0.0 <= r.dup_frac <= 1.0 for r in rows)
+    assert all(r.dup_positions <= r.n_positions for r in rows)
+    # the span-marking join must not be a cartesian/broadcast-nested-loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -335,3 +335,81 @@ def test_ngrams_col_no_python_udf(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = top_ngrams(df, "text")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_repetition_stats_vs_python_oracle(spark):
+    import re
+    from collections import Counter
+
+    rows = [
+        (1, "spam spam spam\nspam spam spam\nunique line here"),
+        (2, "one two three four"),          # all-distinct bigrams, one line
+        (3, "ab ab ab ab"),                 # modal bigram 'ab ab' x3
+        (4, "   \n  "),                     # blank-only -> zero everything
+        (5, ""),                            # empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in textstats.repetition_stats(df, ngram_n=2).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+
+    def oracle(text, n=2):
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip() != ""]
+        toks = re.findall(r"\w+", text.lower())
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        lc, gc = Counter(lines), Counter(grams)
+        n_lines, n_grams = len(lines), len(grams)
+        chars = sum(len(l) for l in lines)
+        dup_chars = sum(len(l) * c for l, c in lc.items() if c > 1)
+        return (
+            n_lines,
+            0.0 if not n_lines else 1 - len(lc) / n_lines,
+            0.0 if not chars else dup_chars / chars,
+            n_grams,
+            0.0 if not n_grams else 1 - len(gc) / n_grams,
+            0.0 if not n_grams else max(gc.values()) / n_grams,
+        )
+
+    for doc_id, text in rows:
+        r = got[doc_id]
+        exp = oracle(text)
+        assert (
+            r.n_lines,
+            round(r.dup_line_frac, 9),
+            round(r.dup_line_char_frac, 9),
+            r.n_ngrams,
+            round(r.dup_ngram_frac, 9),
+            round(r.top_ngram_frac, 9),
+        ) == (
+            exp[0],
+            round(exp[1], 9),
+            round(exp[2], 9),
+            exp[3],
+            round(exp[4], 9),
+            round(exp[5], 9),
+        ), f"doc {doc_id}"
+
+    # doc 1: 2 identical lines of 3 -> dup_line_frac = 1 - 2/3
+    assert abs(got[1].dup_line_frac - (1 - 2 / 3)) < 1e-12
+    # doc 3: grams = [ab ab, ab ab, ab ab] -> top frac 1.0, dup frac 2/3
+    assert got[3].top_ngram_frac == 1.0 and abs(got[3].dup_ngram_frac - 2 / 3) < 1e-12
+    # docs 4/5: all zeros
+    for d in (4, 5):
+        assert (got[d].n_lines, got[d].n_ngrams) == (0, 0)
+        assert got[d].dup_line_frac == got[d].top_ngram_frac == 0.0
+
+
+def test_repetition_stats_on_documents_table(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textstats.repetition_stats(d, ngram_n=2)
+    rows = out.collect()
+    assert len(rows) == d.count()  # one row per doc, none lost
+    for r in rows:
+        for v in (r.dup_line_frac, r.dup_line_char_frac, r.dup_ngram_frac, r.top_ngram_frac):
+            assert 0.0 <= v <= 1.0
+        # single-line synthetic docs: line dup fracs must be exactly 0
+        assert r.dup_line_frac == 0.0
+    # the tiny vocabulary guarantees real within-doc bigram repetition
+    assert sum(1 for r in rows if r.dup_ngram_frac > 0) > len(rows) * 0.5
