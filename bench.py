@@ -113,6 +113,16 @@ def main():
         "minhash_lsh_pairs",
         lambda: dedupe.minhash_lsh_dedupe_pairs(docs, "doc_id", "text", threshold=0.5).count(),
     )
+    from engine.operators import textstats
+
+    timed(
+        "repetition_stats",
+        lambda: textstats.repetition_stats(docs, ngram_n=2).count(),
+    )
+    timed(
+        "cross_dup_ngrams",
+        lambda: dedupe.cross_doc_ngram_dups(docs, n=5, min_docs=2).count(),
+    )
 
     # adversarial boilerplate corpus: 10^5 docs with a 10^4-identical block —
     # every LSH band bucket of the block is hot, so without the cap the

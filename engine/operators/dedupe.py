@@ -476,3 +476,63 @@ def cross_doc_ngram_dups(
             (dup_pos / F.col("n_positions")).alias("dup_frac"),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (Brown et al. 2020
+    GPT-3 Appendix C; the PaLM / Llama train-test-overlap procedure): a
+    corpus document is contaminated when it shares >= ``min_hits`` distinct
+    word n-grams with ANY benchmark document. Training pipelines drop (or
+    flag for eval exclusion) the contaminated rows before training.
+
+    Output, one row per corpus doc:
+      (id_col, bench_ngram_hits BIGINT, contaminated BOOLEAN)
+
+    ``bench_ngram_hits`` counts the corpus doc's DISTINCT n-grams that
+    appear anywhere in the benchmark (per-doc distinct, so a gram repeated
+    inside the doc counts once).
+
+    Scale shape: the benchmark gram set is eval-sized (thousands of docs →
+    at most a few million distinct grams) while the corpus is the 100 TB
+    side, so the overlap join broadcasts the benchmark grams by default —
+    the corpus-side explode→distinct is the only shuffle (map-side
+    combinable on (id, gram)), and the probe never moves the corpus across
+    the wire for the join itself. Set ``broadcast_benchmark=False`` for a
+    benchmark too large to broadcast (falls back to a shuffled hash join
+    with one build row per gram key — no pairwise blowup either way).
+    """
+    from engine.operators.textstats import ngrams_col
+
+    bench_grams = (
+        benchmark.select(F.explode(ngrams_col(F.col(text_col), n)).alias("g"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngrams_col(F.col(text_col), n)).alias("g"),
+    ).distinct()
+    hits = (
+        corpus_grams.join(bench_grams, "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("bench_ngram_hits"))
+    )
+    hit_count = F.coalesce("bench_ngram_hits", F.lit(0))
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            hit_count.cast("long").alias("bench_ngram_hits"),
+            (hit_count >= min_hits).alias("contaminated"),
+        )
+    )

@@ -224,3 +224,63 @@ def repetition_stats(
             F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
         )
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.75,
+    max_dup_ngram_frac: float = 0.08,
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Composable Gopher/C4-style document gate (Rae et al. 2021 Table A1;
+    Raffel et al. 2020 §2.2): the keep/drop decision actual cleaning
+    pipelines apply before LM training, with an audit trail of WHICH rule
+    fired per document.
+
+    Output, one row per doc:
+      (id_col, n_tokens BIGINT, quality DOUBLE, dup_ngram_frac DOUBLE,
+       reasons STRING, keep BOOLEAN)
+    ``reasons`` is a comma-joined list of failed-rule tags in fixed order
+    (too_short, too_long, low_quality, repetitive); '' when kept.
+
+    Scale shape: every signal here is a per-row LINEAR expression — token
+    count, the heuristic quality score, and the duplicate-n-gram fraction
+    via array_distinct (O(len) per row) — so the whole filter is map-only
+    and runs inside the scan stage with zero shuffles at any corpus size.
+    The modal-n-gram and duplicate-line signals need per-unit counts and
+    live in `repetition_stats` (explode→agg, one shuffle) for pipelines
+    that want the full Gopher set; they are deliberately NOT part of this
+    gate so that the common path stays a pure map.
+    """
+    text = F.col(text_col)
+    n_tok = token_count_re(text)
+    grams = ngrams_col(text, ngram_n)
+    dup_frac = F.when(
+        F.size(grams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    quality = quality_score_col(text)
+
+    rules = [
+        ("too_short", n_tok < min_tokens),
+        ("too_long", n_tok > max_tokens),
+        ("low_quality", quality < min_quality),
+        ("repetitive", dup_frac > max_dup_ngram_frac),
+    ]
+    tags = F.filter(
+        F.array(*[F.when(cond, F.lit(tag)) for tag, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+        dup_frac.alias("dup_ngram_frac"),
+        F.array_join(tags, ",").alias("reasons"),
+        (F.size(tags) == 0).alias("keep"),
+    )

@@ -548,3 +548,54 @@ def test_cross_doc_ngram_dups_metrics_and_scale_shape(spark):
     # the span-marking join must not be a cartesian/broadcast-nested-loop
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_vs_python_oracle(spark):
+    import re
+    from collections import defaultdict
+
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, "one two three four five six"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "tiny"),  # < n tokens -> can never hit, still present in output
+    ]
+    bench_rows = [
+        (100, "alpha beta gamma delta epsilon something else"),
+        (101, "quick brown fox jumps over the lazy dog indeed"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    n = 5
+    got = {
+        r.doc_id: r
+        for r in dedupe.decontaminate(corpus, bench, n=n, min_hits=1).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # every corpus doc, hits or not
+
+    def grams(text):
+        toks = re.findall(r"\w+", text.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench_rows))
+    for doc_id, text in corpus_rows:
+        hits = len(grams(text) & bench_grams)
+        r = got[doc_id]
+        assert r.bench_ngram_hits == hits, doc_id
+        assert r.contaminated == (hits >= 1), doc_id
+    assert got[1].contaminated and got[3].contaminated
+    assert not got[2].contaminated and not got[4].contaminated
+    assert got[4].bench_ngram_hits == 0
+
+
+def test_decontaminate_broadcast_plan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    out = dedupe.decontaminate(corpus, bench, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the benchmark gram set must be on the broadcast side of the overlap join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    rows = out.collect()
+    assert len(rows) == corpus.count()
+    assert any(r.contaminated for r in rows)  # tiny vocab guarantees overlap

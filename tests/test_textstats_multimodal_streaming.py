@@ -413,3 +413,40 @@ def test_repetition_stats_on_documents_table(spark):
         assert r.dup_line_frac == 0.0
     # the tiny vocabulary guarantees real within-doc bigram repetition
     assert sum(1 for r in rows if r.dup_ngram_frac > 0) > len(rows) * 0.5
+
+
+def test_quality_filter_rules_and_reasons(spark):
+    long_junk = "zz " * 40  # 80 tokens, no stopwords, heavy bigram repetition
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was happy for "
+        "this fine day in the sunny park with friends and games to play "
+        "while the birds sing songs of joy and peace for everyone around"
+    )
+    rows = [(1, good), (2, "short text"), (3, long_junk)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.quality_filter(df).collect()}
+
+    assert got[1].keep and got[1].reasons == ""
+    assert not got[2].keep and "too_short" in got[2].reasons
+    assert not got[3].keep
+    # fixed tag order: too_short,too_long,low_quality,repetitive
+    assert got[3].reasons == ",".join(
+        t for t in ["too_short", "too_long", "low_quality", "repetitive"]
+        if t in got[3].reasons
+    )
+    assert "repetitive" in got[3].reasons  # 'zz zz' bigram dominates
+    # per-row linear signals must agree with the shuffle-based kernel
+    rep = {r.doc_id: r for r in textstats.repetition_stats(df, ngram_n=2).collect()}
+    for d in (1, 2, 3):
+        assert abs(got[d].dup_ngram_frac - rep[d].dup_ngram_frac) < 1e-12
+
+
+def test_quality_filter_is_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textstats.quality_filter(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles: pure map over the scan
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)  # thresholds genuinely split the corpus
