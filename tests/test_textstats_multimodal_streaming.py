@@ -450,3 +450,46 @@ def test_quality_filter_is_map_only(spark):
     assert len(rows) == docs.count()
     kept = sum(1 for r in rows if r.keep)
     assert 0 < kept < len(rows)  # thresholds genuinely split the corpus
+
+
+def test_dedupe_pages_stream_matches_batch(spark, tmp_path):
+    from engine import datagen
+    from engine.streaming import dedupe as sdd
+
+    pages = datagen.generate_pages_df(spark, 120, seed=3, partitions=2)
+    # mirror copies: same text under different urls, later fetch time
+    mirrors = (
+        pages.limit(30)
+        .withColumn("url", F.concat(F.col("url"), F.lit("?ref=mirror")))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    src = str(tmp_path / "pages_in")
+    pages.union(mirrors).write.mode("overwrite").parquet(src)
+
+    batch_in = spark.read.parquet(src)
+    batch = sdd.dedupe_pages_stream(batch_in).collect()
+    fps_batch = {r.fp for r in batch}
+    # one row per distinct fingerprint, mirrors collapsed
+    assert len(batch) == len(fps_batch) == (
+        sdd.with_content_fp(batch_in).select("fp").distinct().count()
+    )
+    # deterministic representative: never the later mirror copy
+    assert not any(r.url.endswith("?ref=mirror") for r in batch)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in batch_in.schema)
+    stream_in = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = sdd.dedupe_pages_stream(stream_in)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_pages")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_pages").collect()
+    fps_stream = {r.fp for r in got}
+    assert fps_stream == fps_batch       # same surviving content set
+    assert len(got) == len(fps_stream)   # exactly one copy per fingerprint
