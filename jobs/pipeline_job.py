@@ -59,6 +59,18 @@ def main(argv=None):
         help="also write <out>/host_ranks: host-level graph rollup + "
         "weighted PageRank over the extracted URL edges",
     )
+    ap.add_argument(
+        "--quality-filter", action="store_true",
+        help="Gopher/C4-style map-only quality gate over the extracted "
+        "corpus: writes kept docs to <out>/pages_quality and records "
+        "kept/dropped plus per-reason drop counts in summary.json",
+    )
+    ap.add_argument(
+        "--decontaminate", default=None, metavar="BENCH_PARQUET",
+        help="benchmark decontamination: parquet dir with a 'text' column; "
+        "writes per-doc contamination flags to <out>/contamination and "
+        "records contaminated/clean counts in summary.json",
+    )
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -136,6 +148,43 @@ def main(argv=None):
         dedupe_metrics["threshold"] = args.dedupe_threshold
         dedupe_metrics["max_bucket_size"] = cap
 
+    quality_metrics: dict = {}
+    if args.quality_filter:
+        # map-only keep/drop gate (zero shuffles for the gate itself); the
+        # per-reason drop counts go into the manifest so no document is
+        # silently dropped without an attributable rule
+        from engine.operators import textstats
+
+        corpus = extracted.join(nodes, "url").select("id", "url", "text")
+        gated = textstats.quality_filter(corpus, id_col="id").persist()
+        corpus.join(
+            gated.where("keep").select("id"), "id", "left_semi"
+        ).write.mode("overwrite").parquet(os.path.join(args.out, "pages_quality"))
+        quality_metrics["kept"] = gated.where("keep").count()
+        quality_metrics["dropped"] = gated.where("NOT keep").count()
+        quality_metrics["drop_reasons"] = {
+            r["reasons"]: r["n"]
+            for r in gated.where("NOT keep")
+            .groupBy("reasons")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        gated.unpersist()
+
+    contamination_metrics: dict = {}
+    if args.decontaminate:
+        # GPT-3 Appendix C n-gram train-test overlap vs the supplied
+        # benchmark table; flags written per doc, counts to the manifest
+        from engine.operators import dedupe as dedupe_ops
+
+        corpus = extracted.join(nodes, "url").select("id", "url", "text")
+        bench = spark.read.parquet(args.decontaminate).select("text")
+        flags = dedupe_ops.decontaminate(corpus, bench, id_col="id")
+        flags.write.mode("overwrite").parquet(os.path.join(args.out, "contamination"))
+        written = spark.read.parquet(os.path.join(args.out, "contamination"))
+        contamination_metrics["contaminated"] = written.where("contaminated").count()
+        contamination_metrics["clean"] = written.where("NOT contaminated").count()
+
     res = pagerank(
         edges,
         nodes=nodes.select("id"),
@@ -184,6 +233,10 @@ def main(argv=None):
         summary["dedupe_metrics"] = dedupe_metrics
     if host_summary:
         summary["host_ranks"] = host_summary
+    if quality_metrics:
+        summary["quality_filter"] = quality_metrics
+    if contamination_metrics:
+        summary["contamination"] = contamination_metrics
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({**summary, "metrics": res.metrics}, f, indent=1)
     print(json.dumps(summary))

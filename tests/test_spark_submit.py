@@ -117,6 +117,54 @@ def test_pipeline_job_near_dedupe_manifest(tmp_path):
     assert (out / "pages_dedup").exists()
 
 
+def test_pipeline_job_quality_and_decontamination(tmp_path):
+    """--quality-filter and --decontaminate write their artifacts and put
+    attributable counts in the manifest (no silent drops in the flagship
+    job). The benchmark is a verbatim slice of the same corpus — the
+    realistic leakage case (benchmark text copied into the crawl), so
+    contamination is guaranteed by construction."""
+    out = tmp_path / "pipe"
+    bench_dir = tmp_path / "bench"
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    gen = subprocess.run(
+        [
+            sys.executable, "-c",
+            "from engine.session import build_session; from engine import datagen; "
+            "from engine.operators import graph; from pyspark.sql import functions as F; "
+            "s = build_session(master='local[4]', shuffle_partitions=4); "
+            "p = datagen.generate_pages_df(s, 300, seed=42, partitions=2); "
+            "b = graph.extract_pages(p).where(F.crc32(F.col('url')) % 7 == 0); "
+            f"b.select('text').write.mode('overwrite').parquet(r'{bench_dir}')",
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(REPO),
+    )
+    assert gen.returncode == 0, gen.stderr[-4000:]
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "jobs" / "pipeline_job.py"),
+            "--gen-pages", "300", "--out", str(out),
+            "--quality-filter", "--decontaminate", str(bench_dir),
+            "--master", "local[8]", "--partitions", "8",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads((out / "summary.json").read_text())
+    qf = summary["quality_filter"]
+    assert qf["kept"] + qf["dropped"] > 0
+    assert sum(qf["drop_reasons"].values()) == qf["dropped"]
+    assert all(reason for reason in qf["drop_reasons"])  # every drop attributed
+    cm = summary["contamination"]
+    assert cm["contaminated"] > 0  # shared generator vocab guarantees overlap
+    assert (out / "pages_quality").exists() and (out / "contamination").exists()
+    import duckdb
+
+    kept_rows = duckdb.sql(
+        f"SELECT count(*) FROM parquet_scan('{out}/pages_quality/*.parquet')"
+    ).fetchone()[0]
+    assert kept_rows == qf["kept"]
+
+
 def test_pipeline_job_host_ranks_artifact(tmp_path):
     """--host-ranks writes the Common Crawl-style host-graph artifact:
     rollup → weighted PageRank, Σ rank = 1 over the hosts."""
