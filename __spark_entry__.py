@@ -67,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from engine.operators import dedupe, graph, similarity, textstats, tfidf
+    from engine.operators import dedupe, graph, sampling, similarity, textstats, tfidf
     from engine.operators.components import connected_components
     from engine.operators.labelprop import label_propagation
     from engine.operators.pagerank import pagerank
@@ -1130,6 +1130,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = d.where(F.col("doc_id") % 20 == 0)
         return dedupe.decontaminate(corpus, bench, n=5, min_hits=1)
 
+    def x11_pii_scrub(spark, sf):
+        # PII anonymization (Dolma/CCNet hygiene): the synthetic docs carry
+        # no PII, so both engines inject the SAME deterministic spans first
+        # (emails on doc_id%3==0, phone+IP on %3==1), then the Spark side
+        # scrubs with engine-portable ASCII regexes and the oracle replays
+        # the identical replace+count arithmetic.
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        injected = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+                )
+                .when(
+                    F.col("doc_id") % 3 == 1,
+                    F.concat(
+                        F.lit(" call +1 555-000-"),
+                        did,
+                        F.lit(" or visit 10.0.0."),
+                        (F.col("doc_id") % 250).cast("string"),
+                    ),
+                )
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return textstats.scrub_pii(injected).select(
+            "doc_id", "text", "n_emails", "n_phones", "n_ips"
+        )
+
+    def x12_pack_sequences(spark, sf):
+        # GPT-style packing layout: md5-bucketed independent streams (the
+        # single-global-window anti-pattern split into 8 parallel windows),
+        # window cumsum within bucket; engine-portable by construction.
+        d = _t(spark, sf, "documents")
+        return sampling.pack_sequences(d, max_len=512, num_buckets=8)
+
     def x10_quality_filter(spark, sf):
         # Gopher/C4-style keep/drop gate with per-doc failed-rule audit
         # trail; map-only (all signals per-row linear), thresholds chosen to
@@ -1278,6 +1317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_cross_dup_ngrams": d6_cross_dup_ngrams,
         "d7_decontaminate": d7_decontaminate,
         "x10_quality_filter": x10_quality_filter,
+        "x11_pii_scrub": x11_pii_scrub,
+        "x12_pack_sequences": x12_pack_sequences,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -3117,5 +3158,55 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(tags, ','), '') AS reasons,
                    len(tags) = 0 AS keep
             FROM tagged
+        """,
+        "x11_pii_scrub": """
+            WITH injected AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 3 = 0 THEN
+                               ' contact user' || doc_id::VARCHAR || '@example.com now'
+                           WHEN doc_id % 3 = 1 THEN
+                               ' call +1 555-000-' || doc_id::VARCHAR
+                               || ' or visit 10.0.0.' || (doc_id % 250)::VARCHAR
+                           ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\\+\\d[\\d\\-() ]{7,}\\d', '<PHONE>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS text,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\\+\\d[\\d\\-() ]{7,}\\d')) AS INT) AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ips
+            FROM injected
+        """,
+        "x12_pack_sequences": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(floor(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                                  / 4294967296.0 * 8) AS INT) AS bucket,
+                       CAST(len({_TOK}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), packed AS (
+                SELECT doc_id, bucket, n_tokens,
+                       sum(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens AS start_offset
+                FROM base
+            )
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
+                   CAST(start_offset % 512 AS BIGINT) AS chunk_offset
+            FROM packed
         """,
     }

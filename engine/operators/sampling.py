@@ -110,3 +110,59 @@ def stratified_hash_sample(
             rate_expr
         )
     return df.filter(hash_u(F.col(key_col), salt) < rate_expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 512,
+    num_buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """GPT-style sequence packing layout (Brown et al. 2020 §2.3 /
+    T5 "packing"): documents are concatenated in a deterministic order and
+    chunked into fixed ``max_len``-token training sequences; a document may
+    straddle a chunk boundary (that is the point — zero padding waste).
+    This computes the LAYOUT (which chunk each document starts in and at
+    what offset); the actual token concatenation happens downstream at
+    materialization.
+
+    Output, one row per doc:
+      (id_col, bucket INT, n_tokens BIGINT, start_offset BIGINT,
+       chunk_id BIGINT, chunk_offset BIGINT)
+
+    Scale shape: a single global concatenation order would be one giant
+    window over the whole corpus — a single-partition sort at 100 TB. So
+    docs are first salted into ``num_buckets`` INDEPENDENT packing streams
+    by portable md5 (the `hash_u` family — layout is engine- and
+    partitioning-independent, NOT a Spark-hash artifact), and the running
+    token offset is a window cumsum within bucket ordered by (id) — each
+    bucket's window is its own partition, so the sort parallelizes and any
+    engine reproduces the identical layout. Chunks never cross buckets;
+    per-bucket tail waste is < max_len tokens, negligible at corpus scale.
+    """
+    from engine.operators.textstats import token_count_re
+    from pyspark.sql import Window
+
+    bucket = F.floor(hash_u(F.col(id_col), salt) * num_buckets).cast("int")
+    base = docs.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        token_count_re(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / max_len).cast("long").alias("chunk_id"),
+        ((cum - F.col("n_tokens")) % max_len).cast("long").alias("chunk_offset"),
+    )

@@ -284,3 +284,49 @@ def quality_filter(
         F.array_join(tags, ",").alias("reasons"),
         (F.size(tags) == 0).alias("keep"),
     )
+
+
+# PII patterns: ASCII-class regexes chosen to mean the same thing in Java
+# regex (Spark) and RE2 (DuckDB/most engines) — no lookarounds, no unicode
+# classes, so the scrub is engine-portable and vectorizable.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d\-() ]{7,}\d"
+
+
+def scrub_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII anonymization pass (the Dolma / CCNet / BigScience ROOTS
+    pre-training hygiene step): replace emails, +international phone
+    numbers, and IPv4 literals with typed placeholder tokens, and count
+    what was removed so the drop is attributable (no silent scrubbing).
+
+    Output: input columns with ``text`` replaced by the scrubbed text, plus
+      (n_emails INT, n_phones INT, n_ips INT) counted on the ORIGINAL text.
+
+    Replacement order is fixed (email -> phone -> ip) so nested matches
+    resolve deterministically. Map-only: three regexp counts + three
+    chained regexp_replace per row, zero shuffles at any corpus size —
+    like `quality_filter`, it runs inside the scan stage.
+    """
+    text = F.col(text_col)
+    out_cols = [c for c in docs.columns if c != text_col]
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        *out_cols,
+        scrubbed.alias(text_col),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)).alias("n_ips"),
+    )

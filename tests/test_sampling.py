@@ -11,6 +11,7 @@ from engine.operators.sampling import (
     hash_u,
     stratified_hash_sample,
 )
+from engine.operators import sampling
 
 
 def _ids(spark, n=4000):
@@ -101,3 +102,40 @@ def test_sampling_is_map_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_layout_invariants(spark):
+    import hashlib
+    import re
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    max_len, nb = 128, 8
+    out = sampling.pack_sequences(docs, max_len=max_len, num_buckets=nb).collect()
+    assert len(out) == docs.count()
+
+    # python replay: identical bucket, offsets, chunk assignment
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()),
+    )
+    by_bucket: dict[int, int] = {}
+    expect = {}
+    for doc_id, text in rows:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        u = int(h[:8], 16) / float(1 << 32)
+        b = int(u * nb)
+        n = len(re.findall(r"\w+", text.lower()))
+        start = by_bucket.get(b, 0)
+        expect[doc_id] = (b, n, start, start // max_len, start % max_len)
+        by_bucket[b] = start + n
+    for r in out:
+        assert (
+            r.bucket, r.n_tokens, r.start_offset, r.chunk_id, r.chunk_offset
+        ) == expect[r.doc_id], r.doc_id
+
+    # layout is partitioning-independent: same result at different parallelism
+    out2 = sampling.pack_sequences(
+        docs.repartition(13), max_len=max_len, num_buckets=nb
+    ).collect()
+    assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+    # every bucket's stream is gapless: offsets tile exactly
+    assert all(0 <= r.chunk_offset < max_len for r in out)

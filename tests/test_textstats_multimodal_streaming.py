@@ -493,3 +493,37 @@ def test_dedupe_pages_stream_matches_batch(spark, tmp_path):
     fps_stream = {r.fp for r in got}
     assert fps_stream == fps_batch       # same surviving content set
     assert len(got) == len(fps_stream)   # exactly one copy per fingerprint
+
+
+def test_scrub_pii_vs_python_oracle(spark):
+    import re
+
+    rows = [
+        (1, "mail me at jo.doe+spam@sub.example.co.uk or call +1 (555) 123-4567 now"),
+        (2, "server at 10.0.255.3 and 192.168.1.1; no mail"),
+        (3, "clean text with nothing sensitive at all"),
+        (4, "double a@b.io c@d.org and ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in textstats.scrub_pii(df).collect()}
+
+    email, phone, ip = (
+        textstats.PII_EMAIL_RE,
+        textstats.PII_PHONE_RE,
+        textstats.PII_IPV4_RE,
+    )
+    for doc_id, text in rows:
+        r = got[doc_id]
+        assert r.n_emails == len(re.findall(email, text)), doc_id
+        assert r.n_phones == len(re.findall(phone, text)), doc_id
+        assert r.n_ips == len(re.findall(ip, text)), doc_id
+        expected = re.sub(
+            ip, "<IP>", re.sub(phone, "<PHONE>", re.sub(email, "<EMAIL>", text))
+        )
+        assert r.text == expected, doc_id
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[2].n_ips == 2 and got[4].n_emails == 2
+    assert "jo.doe" not in got[1].text and "<EMAIL>" in got[1].text
+    # map-only: zero shuffles
+    plan = textstats.scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
