@@ -1130,6 +1130,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = d.where(F.col("doc_id") % 20 == 0)
         return dedupe.decontaminate(corpus, bench, n=5, min_hits=1)
 
+    def p9_politeness(spark, sf):
+        # per-host rate-limited fetch rounds over the p5 ranked frontier
+        # (host = id % 53, a deterministic stand-in for the URL host):
+        # round r fetches <= 3 URLs per host, higher mass goes earlier.
+        from engine.operators import frontier
+
+        edges = _edges(spark, sf)
+        vis = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .where("id % 7 = 0")
+        )
+        fr = frontier.frontier_ranking(edges, vis).withColumn(
+            "host", (F.col("id") % 53).cast("long")
+        )
+        out = frontier.politeness_schedule(fr, per_host_limit=3)
+        return out.select("id", "host", "n_links", "mass", "host_rank", "fetch_round")
+
     def x11_pii_scrub(spark, sf):
         # PII anonymization (Dolma/CCNet hygiene): the synthetic docs carry
         # no PII, so both engines inject the SAME deterministic spans first
@@ -1317,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_cross_dup_ngrams": d6_cross_dup_ngrams,
         "d7_decontaminate": d7_decontaminate,
         "x10_quality_filter": x10_quality_filter,
+        "p9_politeness": p9_politeness,
         "x11_pii_scrub": x11_pii_scrub,
         "x12_pack_sequences": x12_pack_sequences,
         "i1_pagerank": i1_pagerank,
@@ -3208,5 +3228,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
                    CAST(start_offset % 512 AS BIGINT) AS chunk_offset
             FROM packed
+        """,
+        "p9_politeness": """
+            WITH e AS (
+                SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem
+                WHERE l_orderkey % 997 <> l_partkey % 997
+            ), vis AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM e UNION SELECT dst FROM e
+                ) WHERE id % 7 = 0
+            ), w AS (
+                SELECT src,
+                       round(CAST(1.0 AS DOUBLE) / count(*), 9) AS w
+                FROM e GROUP BY src
+            ), contrib AS (
+                SELECT e.dst,
+                       CAST(count(*) AS BIGINT) AS n_links,
+                       CAST(sum(CAST(w.w AS DECIMAL(28,9))) AS DOUBLE) AS m
+                FROM e
+                JOIN vis ON e.src = vis.id
+                JOIN w ON w.src = e.src
+                GROUP BY e.dst
+            ), fr AS (
+                SELECT dst AS id, CAST(dst % 53 AS BIGINT) AS host,
+                       n_links, round(m, 6) AS mass
+                FROM contrib
+                WHERE dst NOT IN (SELECT id FROM vis)
+            ), ranked AS (
+                SELECT id, host, n_links, mass,
+                       CAST(row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY mass DESC, n_links DESC, id ASC
+                       ) - 1 AS BIGINT) AS host_rank
+                FROM fr
+            )
+            SELECT id, host, n_links, mass, host_rank,
+                   CAST(floor(host_rank / 3.0) AS BIGINT) AS fetch_round
+            FROM ranked
         """,
     }

@@ -87,3 +87,39 @@ def frontier_topk(
     sort materialization."""
     fr = frontier_ranking(edges, visited, ranks)
     return fr.orderBy(F.desc("mass"), F.desc("n_links"), F.asc("id")).limit(k)
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    per_host_limit: int = 4,
+) -> DataFrame:
+    """Per-host rate-limited fetch rounds over a ranked frontier — crawl
+    politeness (Heydon & Najork 1999, Mercator §2.2; every production
+    crawler's per-host courtesy limit): round r may fetch at most
+    ``per_host_limit`` URLs from one host, and higher-priority pages go in
+    earlier rounds.
+
+    Input: a frontier with ``host_col`` plus the ranking columns
+    (mass, n_links, id — `frontier_ranking` output joined to its host).
+    Output: input + (host_rank BIGINT, fetch_round BIGINT) where host_rank
+    is the 0-based priority position within the host (mass desc, n_links
+    desc, id asc — the frontier_topk total order) and
+    fetch_round = host_rank // per_host_limit.
+
+    Spark shape: ONE window partitioned by host — each host's row_number
+    is independent, so the sort parallelizes across hosts and no global
+    ordering is materialized; skew equals the biggest single host's
+    frontier, which is exactly the set the limit exists to throttle.
+    """
+    from pyspark.sql import Window
+
+    if per_host_limit < 1:
+        raise ValueError(f"per_host_limit must be >= 1, got {per_host_limit}")
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc("mass"), F.desc("n_links"), F.asc("id")
+    )
+    host_rank = (F.row_number().over(w) - 1).cast("long")
+    return frontier.withColumn("host_rank", host_rank).withColumn(
+        "fetch_round", F.floor(F.col("host_rank") / per_host_limit).cast("long")
+    )

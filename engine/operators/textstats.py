@@ -175,8 +175,9 @@ def repetition_stats(
 
     Scale shape: two explode -> groupBy passes (line units, gram units),
     each map-side combinable on (id, unit) then reduced per id, joined back
-    on id — the join reuses the hash partitioning the aggregates already
-    produced, so no extra exchange. Per-doc reducer state is bounded by the
+    on id — both aggregate sides already satisfy the join's hash(id)
+    requirement, so only the slim (id-only) base projection pays an
+    exchange (or broadcasts). Per-doc reducer state is bounded by the
     doc's own distinct units. The tempting single-pass per-row alternative
     (transform(array_distinct(units), u -> size(filter(units, x = u)))) is
     O(len^2) per document and melts on long pages; this stays linear.

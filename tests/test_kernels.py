@@ -1767,3 +1767,42 @@ def test_powerlaw_mle_vs_numpy(spark):
     # out-direction runs too and differs (different tail)
     row_out = powerlaw_alpha_mle(_edges_df(spark, edges), k_min=5, direction="out").collect()[0]
     assert row_out.n_tail > 0
+
+
+def test_politeness_schedule_vs_python_oracle(spark):
+    import pytest as _pytest
+
+    from engine.operators import frontier
+
+    rows = [
+        # (id, host, n_links, mass): host 1 has 5 pages, host 2 has 2
+        (10, 1, 3, 0.9), (11, 1, 1, 0.9), (12, 1, 2, 0.5),
+        (13, 1, 2, 0.5), (14, 1, 1, 0.1),
+        (20, 2, 1, 0.7), (21, 2, 1, 0.3),
+    ]
+    fr = spark.createDataFrame(rows, "id long, host long, n_links long, mass double")
+    got = {
+        r.id: (r.host_rank, r.fetch_round)
+        for r in frontier.politeness_schedule(fr, per_host_limit=2).collect()
+    }
+    order = {}
+    for host in (1, 2):
+        ranked = sorted(
+            (r for r in rows if r[1] == host),
+            key=lambda r: (-r[3], -r[2], r[0]),
+        )
+        for i, r in enumerate(ranked):
+            order[r[0]] = (i, i // 2)
+    assert got == order
+    # ties broken (mass, n_links, id): 10 before 11 (links), 12 before 13 (id)
+    assert got[10][0] < got[11][0] and got[12][0] < got[13][0]
+    # per-host limit holds in every round
+    from collections import Counter
+
+    per_round = Counter()
+    for doc_id, (hr, rnd) in got.items():
+        host = next(r[1] for r in rows if r[0] == doc_id)
+        per_round[(host, rnd)] += 1
+    assert all(v <= 2 for v in per_round.values())
+    with _pytest.raises(ValueError):
+        frontier.politeness_schedule(fr, per_host_limit=0)
