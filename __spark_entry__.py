@@ -1149,6 +1149,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = frontier.politeness_schedule(fr, per_host_limit=3)
         return out.select("id", "host", "n_links", "mass", "host_rank", "fetch_round")
 
+    def p10_url_features(spark, sf):
+        # URL-side crawl gate: both engines synthesize the SAME
+        # deterministic URL per doc_id (host/path/query variety across the
+        # id residues), then extract host, path depth, query-param count,
+        # host digit ratio, and tracking-param detection.
+        from engine.operators.graph import url_features
+
+        d = _t(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        urls = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 4 == 0, F.lit("www.example.com")).otherwise(
+                    F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.com"))
+                ),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(""))
+                .when(F.col("doc_id") % 3 == 1, F.lit("/a"))
+                .otherwise(F.concat(F.lit("/a/b/p"), did)),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit("?utm_source=x&p="), did),
+                )
+                .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("?p="), did))
+                .otherwise(F.lit("")),
+            ).alias("url"),
+        )
+        return url_features(urls).select(
+            "doc_id",
+            "url",
+            "host",
+            "path_depth",
+            "n_query_params",
+            F.round("host_digit_ratio", 6).alias("host_digit_ratio"),
+            "has_tracking",
+        )
+
     def x11_pii_scrub(spark, sf):
         # PII anonymization (Dolma/CCNet hygiene): the synthetic docs carry
         # no PII, so both engines inject the SAME deterministic spans first
@@ -1337,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_decontaminate": d7_decontaminate,
         "x10_quality_filter": x10_quality_filter,
         "p9_politeness": p9_politeness,
+        "p10_url_features": p10_url_features,
         "x11_pii_scrub": x11_pii_scrub,
         "x12_pack_sequences": x12_pack_sequences,
         "i1_pagerank": i1_pagerank,
@@ -3266,5 +3304,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, host, n_links, mass, host_rank,
                    CAST(floor(host_rank / 3.0) AS BIGINT) AS fetch_round
             FROM ranked
+        """,
+        "p10_url_features": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'https://'
+                       || CASE WHEN doc_id % 4 = 0 THEN 'www.example.com'
+                               ELSE 'h' || (doc_id % 97)::VARCHAR || '.example.com' END
+                       || CASE WHEN doc_id % 3 = 0 THEN ''
+                               WHEN doc_id % 3 = 1 THEN '/a'
+                               ELSE '/a/b/p' || doc_id::VARCHAR END
+                       || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&p=' || doc_id::VARCHAR
+                               WHEN doc_id % 5 = 1 THEN '?p=' || doc_id::VARCHAR
+                               ELSE '' END AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, url,
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                       regexp_extract(url, '\?([^#]*)', 1) AS query
+                FROM urls
+            )
+            SELECT doc_id, url, host,
+                   CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+                        AS INT) AS path_depth,
+                   CAST(CASE WHEN query = '' THEN 0
+                             ELSE len(string_split(query, '&')) END AS INT)
+                       AS n_query_params,
+                   round(length(regexp_replace(host, '[^0-9]', '', 'g')) * 1.0
+                         / greatest(length(host), 1), 6) AS host_digit_ratio,
+                   regexp_matches(query, '(^|&)(utm_[a-z]+|fbclid|gclid|msclkid)=')
+                       AS has_tracking
+            FROM parts
         """,
     }

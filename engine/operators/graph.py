@@ -323,3 +323,39 @@ def powerlaw_alpha_mle(edges: DataFrame, k_min: int = 5, direction: str = "in") 
             + F.count(F.lit(1)) / F.sum(F.log(F.col("k") / (F.lit(k_min) - F.lit(0.5))))
         ).alias("alpha"),
     )
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL crawl-quality features — the URL-side gate crawl pipelines
+    apply BEFORE fetching (cheaper than any content filter: spam farms and
+    infinite calendars announce themselves in the URL): host, path depth,
+    query-param count, host digit ratio, and tracking-param detection
+    (C4/CCNet-style URL hygiene; Castillo 2004 crawl-ordering features).
+
+    Output: input columns + (host STRING, path_depth INT, n_query_params
+    INT, host_digit_ratio DOUBLE, has_tracking BOOLEAN).
+
+    Pure Catalyst regexp on the raw string — deliberately NOT `parse_url`
+    (its corner-case semantics are JVM-specific; these regexes mean the
+    same thing in Java regex and RE2, so any engine reproduces the gate).
+    Map-only, zero shuffles.
+    """
+    url = F.col(url_col)
+    host = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    n_params = F.when(query == "", F.lit(0)).otherwise(F.size(F.split(query, "&")))
+    digit_ratio = (
+        F.length(F.regexp_replace(host, "[^0-9]", ""))
+        / F.greatest(F.length(host), F.lit(1))
+    )
+    tracking = query.rlike("(^|&)(utm_[a-z]+|fbclid|gclid|msclkid)=")
+    return df.select(
+        "*",
+        host.alias("host"),
+        path_depth.cast("int").alias("path_depth"),
+        n_params.cast("int").alias("n_query_params"),
+        digit_ratio.alias("host_digit_ratio"),
+        tracking.alias("has_tracking"),
+    )

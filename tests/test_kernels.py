@@ -1806,3 +1806,44 @@ def test_politeness_schedule_vs_python_oracle(spark):
     assert all(v <= 2 for v in per_round.values())
     with _pytest.raises(ValueError):
         frontier.politeness_schedule(fr, per_host_limit=0)
+
+
+def test_url_features_vs_python_oracle(spark):
+    import re
+
+    from engine.operators.graph import url_features
+
+    urls = [
+        "https://www.example.com/a/b/c?x=1&y=2&utm_source=nl#frag",
+        "http://h123.example.com/",
+        "https://192.168.0.1/login?gclid=abc",
+        "https://example.com",
+        "ftp://files.example.org/pub/data.bin",
+        "https://sub.example.com/p?#",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url: r for r in url_features(df).collect()}
+
+    for u in urls:
+        m_host = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", u)
+        host = m_host.group(1) if m_host else ""
+        m_path = re.search(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", u)
+        path = m_path.group(1) if m_path else ""
+        m_q = re.search(r"\?([^#]*)", u)
+        query = m_q.group(1) if m_q else ""
+        r = got[u]
+        assert r.host == host, u
+        assert r.path_depth == len([s for s in path.split("/") if s]), u
+        assert r.n_query_params == (0 if query == "" else len(query.split("&"))), u
+        digits = len(re.sub(r"[^0-9]", "", host))
+        assert abs(r.host_digit_ratio - digits / max(len(host), 1)) < 1e-12, u
+        assert r.has_tracking == bool(
+            re.search(r"(^|&)(utm_[a-z]+|fbclid|gclid|msclkid)=", query)
+        ), u
+    assert got[urls[0]].has_tracking and got[urls[2]].has_tracking
+    assert not got[urls[1]].has_tracking
+    assert got[urls[2]].host_digit_ratio > 0.5
+    assert got[urls[3]].path_depth == 0 and got[urls[3]].n_query_params == 0
+    # map-only
+    plan = url_features(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
