@@ -1130,6 +1130,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = d.where(F.col("doc_id") % 20 == 0)
         return dedupe.decontaminate(corpus, bench, n=5, min_hits=1)
 
+    def sim4b_ivf_probeall(spark, sf):
+        # driver-gradable IVF end-to-end: with nprobe = k_centroids every
+        # cell is probed, so the result is EXACTLY the cosine top-k (the
+        # pytest identity) and the full IVF path — deterministic k-means
+        # train, cell assign, probe, candidate join, re-rank — runs under a
+        # portable SQL oracle. Centroid values cannot change the output
+        # here (all cells probed), which is precisely what makes the
+        # float-iterative training oracle-safe; the PRUNING behavior
+        # (nprobe < cells) stays pytest-gated in sim4.
+        from engine.operators import ivf
+
+        e = _t(spark, sf, "embeddings")
+        return ivf.ivf_ann_topk(e, k=3, k_centroids=8, nprobe=8).select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+        )
+
     def p9_politeness(spark, sf):
         # per-host rate-limited fetch rounds over the p5 ranked frontier
         # (host = id % 53, a deterministic stand-in for the URL host):
@@ -1375,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_quality_filter": x10_quality_filter,
         "p9_politeness": p9_politeness,
         "p10_url_features": p10_url_features,
+        "sim4b_ivf_probeall": sim4b_ivf_probeall,
         "x11_pii_scrub": x11_pii_scrub,
         "x12_pack_sequences": x12_pack_sequences,
         "i1_pagerank": i1_pagerank,
@@ -3304,6 +3324,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, host, n_links, mass, host_rank,
                    CAST(floor(host_rank / 3.0) AS BIGINT) AS fetch_round
             FROM ranked
+        """,
+        "sim4b_ivf_probeall": """
+            WITH pairs AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT query_id, neighbor_id, c,
+                       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS knn_rank
+                FROM pairs
+            )
+            SELECT query_id, neighbor_id, CAST(round(c, 4) AS DOUBLE) AS cosine, knn_rank
+            FROM r WHERE knn_rank <= 3
         """,
         "p10_url_features": """
             WITH urls AS (
