@@ -66,6 +66,12 @@ def main(argv=None):
         "kept/dropped plus per-reason drop counts in summary.json",
     )
     ap.add_argument(
+        "--scrub-pii", action="store_true",
+        help="PII anonymization over the extracted corpus: writes scrubbed "
+        "docs to <out>/pages_scrubbed and records email/phone/IP removal "
+        "counts in summary.json",
+    )
+    ap.add_argument(
         "--decontaminate", default=None, metavar="BENCH_PARQUET",
         help="benchmark decontamination: parquet dir with a 'text' column; "
         "writes per-doc contamination flags to <out>/contamination and "
@@ -171,6 +177,34 @@ def main(argv=None):
         }
         gated.unpersist()
 
+    pii_metrics: dict = {}
+    if args.scrub_pii:
+        # map-only anonymization pass; removal counts to the manifest so
+        # nothing is scrubbed silently
+        from engine.operators import textstats
+
+        corpus = extracted.join(nodes, "url").select("id", "url", "text")
+        scrubbed = textstats.scrub_pii(corpus, id_col="id")
+        scrubbed.write.mode("overwrite").parquet(
+            os.path.join(args.out, "pages_scrubbed")
+        )
+        row = (
+            spark.read.parquet(os.path.join(args.out, "pages_scrubbed"))
+            .agg(
+                F.sum("n_emails").alias("e"),
+                F.sum("n_phones").alias("p"),
+                F.sum("n_ips").alias("i"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        pii_metrics = {
+            "docs": int(row["n"]),
+            "emails_scrubbed": int(row["e"] or 0),
+            "phones_scrubbed": int(row["p"] or 0),
+            "ips_scrubbed": int(row["i"] or 0),
+        }
+
     contamination_metrics: dict = {}
     if args.decontaminate:
         # GPT-3 Appendix C n-gram train-test overlap vs the supplied
@@ -235,6 +269,8 @@ def main(argv=None):
         summary["host_ranks"] = host_summary
     if quality_metrics:
         summary["quality_filter"] = quality_metrics
+    if pii_metrics:
+        summary["pii_scrub"] = pii_metrics
     if contamination_metrics:
         summary["contamination"] = contamination_metrics
     with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -143,7 +143,8 @@ def test_pipeline_job_quality_and_decontamination(tmp_path):
         [
             sys.executable, str(REPO / "jobs" / "pipeline_job.py"),
             "--gen-pages", "300", "--out", str(out),
-            "--quality-filter", "--decontaminate", str(bench_dir),
+            "--quality-filter", "--scrub-pii",
+            "--decontaminate", str(bench_dir),
             "--master", "local[8]", "--partitions", "8",
         ],
         capture_output=True, text=True, timeout=600, env=env,
@@ -155,8 +156,12 @@ def test_pipeline_job_quality_and_decontamination(tmp_path):
     assert sum(qf["drop_reasons"].values()) == qf["dropped"]
     assert all(reason for reason in qf["drop_reasons"])  # every drop attributed
     cm = summary["contamination"]
-    assert cm["contaminated"] > 0  # shared generator vocab guarantees overlap
+    assert cm["contaminated"] > 0  # verbatim slice guarantees overlap
+    pm = summary["pii_scrub"]
+    assert pm["docs"] > 0
+    assert all(k in pm for k in ("emails_scrubbed", "phones_scrubbed", "ips_scrubbed"))
     assert (out / "pages_quality").exists() and (out / "contamination").exists()
+    assert (out / "pages_scrubbed").exists()
     import duckdb
 
     kept_rows = duckdb.sql(
