@@ -1130,6 +1130,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = d.where(F.col("doc_id") % 20 == 0)
         return dedupe.decontaminate(corpus, bench, n=5, min_hits=1)
 
+    def x13_corpus_stats(spark, sf):
+        # the corpus report card every pipeline run prints first: doc and
+        # token totals, token-length skew (exact interpolated percentiles —
+        # the a16 parity pattern), language spread. One partial-agg pass +
+        # one 1-row reduce.
+        d = _t(spark, sf, "documents")
+        t = textstats.add_token_counts(d, "text")
+        return t.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_re").cast("long").alias("total_tokens"),
+            F.max("n_tokens_re").cast("long").alias("max_tokens"),
+            F.round(F.avg("n_tokens_re"), 6).alias("avg_tokens"),
+            F.round(F.expr("percentile(n_tokens_re, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.expr("percentile(n_tokens_re, 0.9)"), 6).alias("p90_tokens"),
+            F.round(F.expr("percentile(n_tokens_re, 0.99)"), 6).alias("p99_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+        )
+
     def sim4b_ivf_probeall(spark, sf):
         # driver-gradable IVF end-to-end: with nprobe = k_centroids every
         # cell is probed, so the result is EXACTLY the cosine top-k (the
@@ -1397,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim4b_ivf_probeall": sim4b_ivf_probeall,
         "x11_pii_scrub": x11_pii_scrub,
         "x12_pack_sequences": x12_pack_sequences,
+        "x13_corpus_stats": x13_corpus_stats,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -3286,6 +3306,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_id,
                    CAST(start_offset % 512 AS BIGINT) AS chunk_offset
             FROM packed
+        """,
+        "x13_corpus_stats": f"""
+            WITH t AS (
+                SELECT doc_id, lang, length(text) AS n_chars,
+                       len({_TOK}) AS n_tok
+                FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(max(n_tok) AS BIGINT) AS max_tokens,
+                   round(avg(n_tok), 6) AS avg_tokens,
+                   round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(n_tok, 0.99), 6) AS p99_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM t
         """,
         "p9_politeness": """
             WITH e AS (
