@@ -328,3 +328,59 @@ def test_pagerank_job_warm_start_roundtrip(tmp_path):
     assert m2["converged"]
     assert m2["iterations"] <= 2  # seeded AT the fixpoint
     assert m1["iterations"] > m2["iterations"]
+
+
+def test_corpus_hygiene_job_end_to_end(tmp_path):
+    """The training-corpus hygiene chain: every stage's drop is counted in
+    the manifest, the boilerplate block collapses in exact dedupe, the
+    verbatim-slice benchmark decontaminates, and split+packing cover every
+    surviving doc exactly once."""
+    out = tmp_path / "corpus"
+    bench_dir = tmp_path / "bench"
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    gen = subprocess.run(
+        [
+            sys.executable, "-c",
+            "from engine.session import build_session; from engine import datagen; "
+            "s = build_session(master='local[4]', shuffle_partitions=4); "
+            "d = datagen.generate_boilerplate_docs(s, 1000, 100, seed=42); "
+            f"d.where('doc_id % 11 = 3').select('text').write.mode('overwrite').parquet(r'{bench_dir}')",
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(REPO),
+    )
+    assert gen.returncode == 0, gen.stderr[-4000:]
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "jobs" / "corpus_job.py"),
+            "--gen-docs", "1000", "--gen-boiler", "100", "--seed", "42",
+            "--near-dedupe", "--benchmark", str(bench_dir),
+            "--out", str(out), "--master", "local[8]", "--partitions", "8",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    m = json.loads((out / "manifest.json").read_text())
+
+    assert m["input_docs"] == 1000
+    q = m["quality"]
+    assert q["kept"] + q["dropped"] == 1000
+    assert sum(q["drop_reasons"].values()) == q["dropped"]
+    # the 100-identical boilerplate block must collapse to ONE doc
+    assert m["exact_dedup_survivors"] == q["kept"] - 99
+    assert m["near_dedupe"]["survivors"] <= m["exact_dedup_survivors"]
+    d = m["decontamination"]
+    # the benchmark is a verbatim slice -> its surviving members drop
+    assert d["contaminated_dropped"] > 0
+    assert d["clean"] + d["contaminated_dropped"] == m["near_dedupe"]["survivors"]
+    assert m["final_docs"] == d["clean"]
+    assert sum(m["splits"].values()) == m["final_docs"]
+    assert m["packed_chunks"] > 0 and m["total_tokens"] > 0
+
+    import duckdb
+
+    n, toks, chunks = duckdb.sql(
+        f"SELECT count(*), sum(n_tokens), count(DISTINCT (bucket, chunk_id)) "
+        f"FROM parquet_scan('{out}/corpus/*.parquet')"
+    ).fetchone()
+    assert n == m["final_docs"] and toks == m["total_tokens"]
+    assert chunks == m["packed_chunks"]
