@@ -1149,6 +1149,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.length("text")).cast("long").alias("total_chars"),
         )
 
+    def x14_unigram_logprob(spark, sf):
+        # CCNet-style LM quality proxy (Wenzek et al. 2020 §3.3): mean
+        # add-one unigram log-probability per doc, self-scored over the
+        # corpus. One DAG — the (total, vocab) normalizer is a lazy 1-row
+        # broadcast aggregate, the score join reuses the term shuffle.
+        d = _t(spark, sf, "documents")
+        s = textstats.unigram_lm_scores(d, "doc_id", "text")
+        return s.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
     def sim4b_ivf_probeall(spark, sf):
         # driver-gradable IVF end-to-end: with nprobe = k_centroids every
         # cell is probed, so the result is EXACTLY the cosine top-k (the
@@ -1417,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_pii_scrub": x11_pii_scrub,
         "x12_pack_sequences": x12_pack_sequences,
         "x13_corpus_stats": x13_corpus_stats,
+        "x14_unigram_logprob": x14_unigram_logprob,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -3323,6 +3333,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM t
+        """,
+        "x14_unigram_logprob": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), cnt AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY term
+            ), norm AS (
+                SELECT sum(c) AS total, CAST(count(*) AS DOUBLE) AS vocab FROM cnt
+            ), scored AS (
+                SELECT tok.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       avg(ln((c + 1.0) / (total + vocab))) AS alp
+                FROM tok JOIN cnt USING (term) CROSS JOIN norm
+                GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(s.alp, 6) AS avg_logprob
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "p9_politeness": """
             WITH e AS (

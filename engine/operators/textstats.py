@@ -331,3 +331,68 @@ def scrub_pii(
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
         F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0)).alias("n_ips"),
     )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the CCNet-style LM
+    quality proxy (Wenzek et al. 2020 §3.3 score documents with a language
+    model; the unigram member of that family is exactly expressible in
+    relational ops, no model artifact needed). Fluent prose built from
+    common tokens scores high; gibberish, rare-token soup and boilerplate
+    ID dumps score low — rank or threshold on it like any quality signal.
+
+    Model: add-one-smoothed unigram MLE over ``ref_docs`` (default: the
+    corpus itself — self-scoring, the usual bootstrap when no clean
+    reference corpus exists):  P(t) = (c_t + 1) / (total + vocab), with
+    unseen tokens getting the floor 1 / (total + vocab).
+
+    Output, one row per input doc:
+      (id_col, n_tokens BIGINT, avg_logprob DOUBLE)   -- ln-space mean;
+    avg_logprob is NULL for token-less docs (nothing to score).
+
+    Scale shape: the count table (O(vocab) rows — SMALL next to the corpus)
+    feeds two consumers, the score join and the (total, vocab) normalizer,
+    so it is pinned (engine.operators._pins — release via pin_scope) and
+    the reference corpus is tokenized exactly ONCE; unpinned, Spark would
+    re-run the explode+aggregate per branch. The normalizer itself is a
+    lazy 1-row aggregate broadcast into the probability projection (the
+    `build_postings_with_idf` pattern — no driver round-trip). Token counts
+    are map-side combinable; the final per-doc mean is one more hash
+    aggregate. Unseen-token floor = left join + coalesce, so scoring a
+    corpus against a separate reference LM has the same plan shape.
+    """
+    from engine.operators._pins import pin
+
+    ref = docs if ref_docs is None else ref_docs
+    ref_toks = ref.select(F.explode(tokenize_col(F.col(text_col))).alias("term"))
+    cnt = pin(ref_toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("_c")))
+    norm = cnt.agg(
+        F.sum("_c").alias("_total"), F.count(F.lit(1)).cast("double").alias("_vocab")
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize_col(F.col(text_col))).alias("term")
+    )
+    scored = (
+        toks.join(cnt, "term", "left")
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "_id",
+            F.log(
+                (F.coalesce(F.col("_c"), F.lit(0.0)) + 1.0)
+                / (F.col("_total") + F.col("_vocab"))
+            ).alias("_lp"),
+        )
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_n"), F.avg("_lp").alias("_alp"))
+    )
+    return docs.join(scored, docs[id_col] == scored["_id"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.col("_alp").alias("avg_logprob"),
+    )

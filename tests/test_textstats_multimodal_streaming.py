@@ -527,3 +527,54 @@ def test_scrub_pii_vs_python_oracle(spark):
     # map-only: zero shuffles
     plan = textstats.scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_unigram_lm_scores_exact_oracle(spark):
+    """avg_logprob matches a pure-Python add-one unigram LM to 1e-12;
+    token-less docs come back with n_tokens=0 / NULL score."""
+    import math
+    import re
+    from collections import Counter
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),
+        (3, "zzz qqq unseen-ish rare"),
+        (4, ""),
+        (5, "the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in textstats.unigram_lm_scores(df, "doc_id", "text").collect()
+    }
+
+    tok = lambda s: re.findall(r"\w+", s.lower())
+    cnt = Counter(t for _, s in rows for t in tok(s))
+    total, vocab = sum(cnt.values()), len(cnt)
+    for doc_id, s in rows:
+        toks = tok(s)
+        n, alp = got[doc_id]
+        assert n == len(toks)
+        if not toks:
+            assert alp is None
+        else:
+            want = sum(math.log((cnt[t] + 1) / (total + vocab)) for t in toks) / len(toks)
+            assert abs(alp - want) < 1e-12
+
+    # common-token prose must outscore rare-token soup (the signal's point)
+    assert got[1][1] > got[3][1]
+
+
+def test_unigram_lm_scores_external_reference(spark):
+    """Scoring against a separate reference corpus: tokens unseen in the
+    reference get the 1/(total+vocab) floor via the left join."""
+    import math
+
+    ref = spark.createDataFrame([(10, "aa aa bb")], "doc_id long, text string")
+    target = spark.createDataFrame([(1, "aa zz")], "doc_id long, text string")
+    got = textstats.unigram_lm_scores(target, "doc_id", "text", ref_docs=ref).collect()[0]
+    total, vocab = 3, 2
+    want = (math.log((2 + 1) / (total + vocab)) + math.log(1 / (total + vocab))) / 2
+    assert got.n_tokens == 2
+    assert abs(got.avg_logprob - want) < 1e-12
