@@ -1158,6 +1158,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = textstats.unigram_lm_scores(d, "doc_id", "text")
         return s.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
+    def w4_asof_attribution(spark, sf):
+        # as-of join (pandas merge_asof / DuckDB ASOF semantics as a
+        # union+window composition — ONE shuffle, no range-join blowup):
+        # each purchase attaches the user's latest click at-or-before it.
+        # Gap computed in exact integer microseconds (double-seconds ulp at
+        # epoch magnitude is ~2.4e-7 — too coarse for a 6dp hash gate).
+        from engine.operators.asof import asof_join
+
+        ev = _t(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "ts",
+            F.col("value").alias("click_value"),
+        )
+        j = asof_join(
+            purchases, clicks, on="ts", by=["user_id"],
+            direction="backward", tiebreak="click_id",
+        )
+        return j.select(
+            "event_id",
+            "user_id",
+            "click_id",
+            F.round("click_value", 6).alias("click_value"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts_r").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+
     def sim4b_ivf_probeall(spark, sf):
         # driver-gradable IVF end-to-end: with nprobe = k_centroids every
         # cell is probed, so the result is EXACTLY the cosine top-k (the
@@ -1427,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_pack_sequences": x12_pack_sequences,
         "x13_corpus_stats": x13_corpus_stats,
         "x14_unigram_logprob": x14_unigram_logprob,
+        "w4_asof_attribution": w4_asof_attribution,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -3352,6 +3386,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
                    round(s.alp, 6) AS avg_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "w4_asof_attribution": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT event_id AS click_id, user_id, ts, value AS click_value
+                FROM events WHERE event_type = 'click'
+            ), j AS (
+                SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+                       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+                       row_number() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY c.ts DESC, c.click_id DESC
+                       ) AS rn
+                FROM p LEFT JOIN c
+                  ON p.user_id = c.user_id AND c.ts <= p.ts
+            )
+            SELECT event_id, user_id, click_id,
+                   round(click_value, 6) AS click_value,
+                   CAST(gap_us AS BIGINT) AS gap_us
+            FROM j WHERE rn = 1
         """,
         "p9_politeness": """
             WITH e AS (
