@@ -1130,6 +1130,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = d.where(F.col("doc_id") % 20 == 0)
         return dedupe.decontaminate(corpus, bench, n=5, min_hits=1)
 
+    def d8_decontaminate_bloom(spark, sf):
+        # same decontamination contract as d7, via the Bloom-prefiltered
+        # physical plan: corpus grams are filtered map-side against a
+        # Catalyst-built bit-packed Bloom filter of the benchmark grams
+        # BEFORE the per-doc distinct shuffle (the 100 TB bottleneck); the
+        # exact gram join then kills the Bloom's false positives, so the
+        # result is row-identical to d7 — same oracle SQL gates both paths.
+        d = _t(spark, sf, "documents")
+        corpus = d.where(F.col("doc_id") % 20 != 0)
+        bench = d.where(F.col("doc_id") % 20 == 0)
+        return dedupe.decontaminate(
+            corpus, bench, n=5, min_hits=1, prefilter_bits=1 << 20
+        )
+
     def x13_corpus_stats(spark, sf):
         # the corpus report card every pipeline run prints first: doc and
         # token totals, token-length skew (exact interpolated percentiles —
@@ -1461,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_corpus_stats": x13_corpus_stats,
         "x14_unigram_logprob": x14_unigram_logprob,
         "w4_asof_attribution": w4_asof_attribution,
+        "d8_decontaminate_bloom": d8_decontaminate_bloom,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1954,7 +1969,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(a2.s, 6) AS DOUBLE) AS authority
         FROM h2 JOIN a2 ON a2.id = h2.id
     """
-    return {
+    sql = {
         "a1_out_degree": f"SELECT src, count(*) AS deg FROM ({_EDGES_SQL}) GROUP BY src",
         "a2_dangling_nodes": """
             WITH e AS (SELECT l_orderkey % 997 AS src, l_partkey % 1499 AS dst FROM lineitem),
@@ -3493,3 +3508,7 @@ def oracle_sql() -> dict[str, str]:
             FROM parts
         """,
     }
+    # the Bloom prefilter changes only the PHYSICAL plan — its output is
+    # row-identical to the exact path, so d7's oracle gates d8 too
+    sql["d8_decontaminate_bloom"] = sql["d7_decontaminate"]
+    return sql

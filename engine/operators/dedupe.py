@@ -478,6 +478,79 @@ def cross_doc_ngram_dups(
     )
 
 
+# ---- Catalyst-native Bloom filter (bit-packed array<long>) ----
+#
+# Spark's own BloomFilterAggregate/BloomFilterMightContain are NOT in the
+# public function registry (they exist only for the optimizer's internal
+# runtime row-level filtering), so this builds the same structure out of
+# registered expressions: k positions per key from seeded xxhash64, OR'd
+# into 63-bit words by one hash aggregate, densified into one array<long>
+# row. 63 usable bits per word keep every mask a positive signed long.
+
+_BLOOM_WORD = 63
+
+
+def _bloom_positions(key, num_bits: int, num_hashes: int):
+    return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)]
+
+
+def _pow2_array():
+    return F.array(*[F.lit(1 << i) for i in range(_BLOOM_WORD)])
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, num_bits: int = 1 << 24, num_hashes: int = 4
+) -> DataFrame:
+    """1-row DataFrame (_bf array<long>) Bloom filter over keys[key_col].
+
+    Entirely JVM-side, ONE aggregation job folded into the caller's DAG —
+    no driver round-trip, no UDF: explode the k bit positions, bit_or them
+    into per-word masks, densify via a map lookup over a generated index.
+    Size: num_bits/63 longs ≈ num_bits/8 bytes (2 MB at the 2^24 default —
+    broadcastable where the raw key strings would be gigabytes). No false
+    negatives ever; false-positive rate ≈ (1 - e^(-k·n/m))^k.
+    """
+    if num_bits > (1 << 30):
+        raise ValueError("num_bits > 2^30 not supported (single-row array ceiling)")
+    n_words = (num_bits + _BLOOM_WORD - 1) // _BLOOM_WORD
+    pos = keys.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(key_col), num_bits, num_hashes))
+        ).alias("_p")
+    )
+    words = (
+        pos.select(
+            (F.col("_p") / _BLOOM_WORD).cast("long").alias("_w"),
+            F.element_at(
+                _pow2_array(), F.pmod(F.col("_p"), F.lit(_BLOOM_WORD)).cast("int") + 1
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_m)").alias("_bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias("_map")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda w: F.coalesce(F.col("_map")[w], F.lit(0).cast("long")),
+        ).alias("_bf")
+    )
+
+
+def bloom_might_contain(key, num_bits: int, num_hashes: int, bf_col: str = "_bf"):
+    """Boolean Column: key possibly inserted (never a false negative).
+    Evaluate against a crossJoin(broadcast(bloom_build(...))) frame."""
+    cond = F.lit(True)
+    for p in _bloom_positions(key, num_bits, num_hashes):
+        word = F.element_at(F.col(bf_col), (p / _BLOOM_WORD).cast("int") + 1)
+        mask = F.element_at(
+            _pow2_array(), F.pmod(p, F.lit(_BLOOM_WORD)).cast("int") + 1
+        )
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -486,6 +559,8 @@ def decontaminate(
     n: int = 5,
     min_hits: int = 1,
     broadcast_benchmark: bool = True,
+    prefilter_bits: int | None = None,
+    prefilter_hashes: int = 4,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram overlap (Brown et al. 2020
     GPT-3 Appendix C; the PaLM / Llama train-test-overlap procedure): a
@@ -508,6 +583,16 @@ def decontaminate(
     the wire for the join itself. Set ``broadcast_benchmark=False`` for a
     benchmark too large to broadcast (falls back to a shuffled hash join
     with one build row per gram key — no pairwise blowup either way).
+
+    ``prefilter_bits``: Bloom-prefilter the corpus grams INSIDE the scan
+    stage before the per-doc distinct — the dominant shuffle of this job
+    (every gram of the 100 TB corpus) shrinks to the might-contain
+    survivors (true overlaps + the fpp tail). Exactness is unchanged:
+    the Bloom filter has no false negatives and the exact gram join
+    afterwards kills its false positives, so the output is row-identical
+    to the unfiltered path — only the physical plan differs. Use when the
+    corpus-side gram shuffle, not the benchmark broadcast, is the
+    bottleneck; ~num_bits/8 bytes ride the broadcast.
     """
     from engine.operators.textstats import ngrams_col
 
@@ -515,12 +600,24 @@ def decontaminate(
         benchmark.select(F.explode(ngrams_col(F.col(text_col), n)).alias("g"))
         .distinct()
     )
-    if broadcast_benchmark:
-        bench_grams = F.broadcast(bench_grams)
     corpus_grams = corpus.select(
         F.col(id_col).alias("id"),
         F.explode(ngrams_col(F.col(text_col), n)).alias("g"),
-    ).distinct()
+    )
+    if prefilter_bits is not None:
+        from engine.operators._pins import pin
+
+        # bench grams feed the bloom build AND the exact verify join
+        bench_grams = pin(bench_grams)
+        bloom = bloom_build(bench_grams, "g", prefilter_bits, prefilter_hashes)
+        corpus_grams = (
+            corpus_grams.crossJoin(F.broadcast(bloom))
+            .filter(bloom_might_contain(F.col("g"), prefilter_bits, prefilter_hashes))
+            .drop("_bf")
+        )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = corpus_grams.distinct()
     hits = (
         corpus_grams.join(bench_grams, "g")
         .groupBy("id")

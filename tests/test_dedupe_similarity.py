@@ -599,3 +599,45 @@ def test_decontaminate_broadcast_plan(spark):
     rows = out.collect()
     assert len(rows) == corpus.count()
     assert any(r.contaminated for r in rows)  # tiny vocab guarantees overlap
+
+
+def test_bloom_filter_no_false_negatives_and_sane_fpp(spark):
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(2000)], "g string")
+    bits, hashes = 1 << 16, 4
+    bloom = dedupe.bloom_build(keys, "g", bits, hashes)
+    present = keys.crossJoin(F.broadcast(bloom)).filter(
+        dedupe.bloom_might_contain(F.col("g"), bits, hashes)
+    )
+    assert present.count() == 2000  # a Bloom filter NEVER false-negatives
+
+    absent = spark.createDataFrame(
+        [(f"absent-{i}",) for i in range(2000)], "g string"
+    )
+    fp = (
+        absent.crossJoin(F.broadcast(bloom))
+        .filter(dedupe.bloom_might_contain(F.col("g"), bits, hashes))
+        .count()
+    )
+    # m/n = 32.8 bits/key, k=4 -> theoretical fpp ~0.24%; assert a loose 3%
+    assert fp / 2000 < 0.03
+
+
+def test_decontaminate_bloom_prefilter_is_row_identical(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    exact = {
+        (r.doc_id, r.bench_ngram_hits, r.contaminated)
+        for r in dedupe.decontaminate(corpus, bench, n=5).collect()
+    }
+    from engine.operators._pins import pin_scope
+
+    with pin_scope():
+        pre = {
+            (r.doc_id, r.bench_ngram_hits, r.contaminated)
+            for r in dedupe.decontaminate(
+                corpus, bench, n=5, prefilter_bits=1 << 20
+            ).collect()
+        }
+    assert pre == exact
+    assert any(c for _, _, c in exact)  # the fixture genuinely overlaps
