@@ -791,6 +791,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = katz_centrality(_edges(spark, sf), beta=0.05, tol=0.0, max_iter=3)
         return out.select("id", F.round("katz", 6).alias("katz"))
 
+    def g30_eigenvector_3iter(spark, sf):
+        # oracle-gated eigenvector centrality — the undamped original of
+        # the PageRank family (dominant eigenvector of Aᵀ, per-round L2
+        # normalization), pinned to 3 fixed rounds so the recurrence
+        # x_{k+1} = (Aᵀx_k)/||Aᵀx_k||₂ unrolls into SQL; round 6 absorbs
+        # cross-engine float-sum order (the i1b technique)
+        from engine.operators.eigenvector import eigenvector_centrality
+
+        out = eigenvector_centrality(_edges(spark, sf), tol=0.0, max_iter=3)
+        return out.select("id", F.round("ev", 6).alias("ev"))
+
     def g14_link_prediction(spark, sf):
         # oracle-gated neighbor-overlap link prediction (CN / Jaccard /
         # Adamic-Adar / resource-allocation / preferential-attachment) on
@@ -1444,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g21_closeness_3hop": g21_closeness_3hop,
         "g12_random_walks": g12_random_walks,
         "g13_katz_3iter": g13_katz_3iter,
+        "g30_eigenvector_3iter": g30_eigenvector_3iter,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
         "g15_sssp_4round": g15_sssp_4round,
@@ -3023,6 +3035,30 @@ def oracle_sql() -> dict[str, str]:
                 )''' for k in range(1, 4)
             )}
             SELECT id, CAST(round(x, 6) AS DOUBLE) AS katz FROM x3
+        """,
+        # undamped power iteration with per-round L2 normalization: each
+        # round is one gather + a scalar norm aggregate, unrolled 3x
+        "g30_eigenvector_3iter": f"""
+            WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGES_SQL})),
+            nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            x0 AS MATERIALIZED (
+                SELECT id,
+                       CAST(1.0 AS DOUBLE) / sqrt((SELECT count(*) FROM nodes)) AS x
+                FROM nodes
+            ),
+            {','.join(
+                f'''g{k} AS MATERIALIZED (
+                  SELECT e.dst AS id, sum(x.x) AS g
+                  FROM e JOIN x{k - 1} x ON x.id = e.src GROUP BY e.dst
+                ), nm{k} AS MATERIALIZED (
+                  SELECT sqrt(sum(g * g)) AS nm FROM g{k}
+                ), x{k} AS MATERIALIZED (
+                  SELECT n.id,
+                         coalesce(g.g, CAST(0.0 AS DOUBLE)) / nm{k}.nm AS x
+                  FROM nodes n LEFT JOIN g{k} g ON g.id = n.id, nm{k}
+                )''' for k in range(1, 4)
+            )}
+            SELECT id, CAST(round(x, 6) AS DOUBLE) AS ev FROM x3
         """,
         # deterministic walk corpus: the oracle replays the md5 neighbor
         # choice hop by hop over the same row_number'd adjacency
