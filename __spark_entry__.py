@@ -802,6 +802,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = eigenvector_centrality(_edges(spark, sf), tol=0.0, max_iter=3)
         return out.select("id", F.round("ev", 6).alias("ev"))
 
+    def g31_mis_3round(spark, sf):
+        # oracle-gated Luby maximal independent set pinned to 3 rounds:
+        # the md5 priority strings are engine-portable (the g12 walk
+        # technique), so every round's select/cover/live partition unrolls
+        # into SQL; the 'live' remainder after 3 rounds is part of the
+        # fixed-round contract
+        from engine.operators.mis import maximal_independent_set
+
+        return maximal_independent_set(_edges(spark, sf), fixed_rounds=3)
+
     def g14_link_prediction(spark, sf):
         # oracle-gated neighbor-overlap link prediction (CN / Jaccard /
         # Adamic-Adar / resource-allocation / preferential-attachment) on
@@ -1456,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_random_walks": g12_random_walks,
         "g13_katz_3iter": g13_katz_3iter,
         "g30_eigenvector_3iter": g30_eigenvector_3iter,
+        "g31_mis_3round": g31_mis_3round,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
         "g15_sssp_4round": g15_sssp_4round,
@@ -3059,6 +3070,54 @@ def oracle_sql() -> dict[str, str]:
                 )''' for k in range(1, 4)
             )}
             SELECT id, CAST(round(x, 6) AS DOUBLE) AS ev FROM x3
+        """,
+        # Luby MIS, 3 unrolled rounds: md5-string priorities (uniform draw
+        # + '|id' tie-break = total order, portable), min over live
+        # neighbors, EXCEPT-based live-set shrink
+        "g31_mis_3round": f"""
+            WITH base AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+            ),
+            und AS MATERIALIZED (
+                SELECT src, dst FROM base UNION SELECT dst, src FROM base
+            ),
+            live0 AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM ({_EDGES_SQL})
+                    UNION ALL SELECT dst FROM ({_EDGES_SQL}))
+            ),
+            {','.join(
+                f'''pri{k} AS MATERIALIZED (
+                  SELECT id,
+                         md5(id::VARCHAR || '|{k}|mis') || '|' || id::VARCHAR AS p
+                  FROM live{k - 1}
+                ), nbrmin{k} AS MATERIALIZED (
+                  SELECT u.src AS id, min(pd.p) AS np
+                  FROM und u JOIN pri{k} pd ON pd.id = u.dst
+                  WHERE u.src IN (SELECT id FROM live{k - 1})
+                  GROUP BY u.src
+                ), mis{k} AS MATERIALIZED (
+                  SELECT pr.id FROM pri{k} pr
+                  LEFT JOIN nbrmin{k} nm ON nm.id = pr.id
+                  WHERE nm.np IS NULL OR pr.p < nm.np
+                ), cov{k} AS MATERIALIZED (
+                  SELECT DISTINCT u.dst AS id FROM und u
+                  WHERE u.src IN (SELECT id FROM mis{k})
+                    AND u.dst IN (SELECT id FROM live{k - 1})
+                    AND u.dst NOT IN (SELECT id FROM mis{k})
+                ), live{k} AS MATERIALIZED (
+                  SELECT id FROM live{k - 1}
+                  EXCEPT SELECT id FROM mis{k}
+                  EXCEPT SELECT id FROM cov{k}
+                )''' for k in range(1, 4)
+            )}
+            SELECT id, 'mis' AS status FROM mis1
+            UNION ALL SELECT id, 'mis' FROM mis2
+            UNION ALL SELECT id, 'mis' FROM mis3
+            UNION ALL SELECT id, 'covered' FROM cov1
+            UNION ALL SELECT id, 'covered' FROM cov2
+            UNION ALL SELECT id, 'covered' FROM cov3
+            UNION ALL SELECT id, 'live' FROM live3
         """,
         # deterministic walk corpus: the oracle replays the md5 neighbor
         # choice hop by hop over the same row_number'd adjacency

@@ -1100,6 +1100,105 @@ def test_eigenvector_raises_on_degenerate_inputs(spark):
 
 
 # ---------------------------------------------------------------------------
+# maximal independent set (Luby, hash-deterministic priorities)
+# ---------------------------------------------------------------------------
+
+def _mis_py(edges, rounds=None, salt="mis"):
+    """Exact replay of the kernel's md5-priority Luby rounds."""
+    import hashlib
+
+    nodes = sorted({u for e in edges for u in e})
+    und: dict[int, set] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+    live = set(nodes)
+    status = {}
+    r = 0
+    while live and (rounds is None or r < rounds):
+        r += 1
+        pri = {
+            v: hashlib.md5(f"{v}|{r}|{salt}".encode()).hexdigest() + "|" + str(v)
+            for v in live
+        }
+        mis = {
+            v
+            for v in live
+            if all(pri[v] < pri[u] for u in und.get(v, ()) if u in live)
+        }
+        cov = {u for v in mis for u in und.get(v, ()) if u in live} - mis
+        for v in mis:
+            status[v] = "mis"
+        for v in cov:
+            status[v] = "covered"
+        live -= mis | cov
+        assert r <= 200
+    for v in live:
+        status[v] = "live"
+    return status
+
+
+def test_mis_vs_python_oracle_and_properties(spark):
+    from engine.operators.mis import maximal_independent_set
+
+    edges = _sparse_graph(n=120, m=300, seed=44)
+    m = []
+    got = {
+        r.id: r.status
+        for r in maximal_independent_set(_edges_df(spark, edges), metrics=m).collect()
+    }
+    assert got == _mis_py(edges)
+    # independence: no simple undirected edge inside the MIS
+    mis = {v for v, s in got.items() if s == "mis"}
+    for u, v in edges:
+        if u != v:
+            assert not (u in mis and v in mis), (u, v)
+    # maximality: at fixpoint nothing is live and every covered vertex has
+    # a MIS neighbor
+    assert "live" not in got.values()
+    und: dict[int, set] = {}
+    for u, v in edges:
+        if u != v:
+            und.setdefault(u, set()).add(v)
+            und.setdefault(v, set()).add(u)
+    for v, s in got.items():
+        if s == "covered":
+            assert und[v] & mis, v
+    assert m[-1]["live_after"] == 0 and len(m) <= 30  # O(log n) rounds
+
+
+def test_mis_fixed_rounds_matches_replay(spark):
+    from engine.operators.mis import maximal_independent_set
+
+    edges = _sparse_graph(n=200, m=700, seed=45)
+    got = {
+        r.id: r.status
+        for r in maximal_independent_set(
+            _edges_df(spark, edges), fixed_rounds=2
+        ).collect()
+    }
+    want = _mis_py(edges, rounds=2)
+    assert got == want
+    assert "live" in got.values()  # 2 rounds leave undecided vertices here
+
+
+def test_mis_self_loop_only_node_is_isolated(spark):
+    from engine.operators.mis import maximal_independent_set
+
+    got = {
+        r.id: r.status
+        for r in maximal_independent_set(
+            _edges_df(spark, [(0, 1), (2, 2)])
+        ).collect()
+    }
+    assert got[2] == "mis"  # self-loop dropped -> isolated -> round-1 MIS
+    assert sorted(got) == [0, 1, 2]
+    assert {got[0], got[1]} == {"mis", "covered"}
+
+
+# ---------------------------------------------------------------------------
 # link prediction (neighbor-overlap scores)
 # ---------------------------------------------------------------------------
 
