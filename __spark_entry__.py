@@ -812,6 +812,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return maximal_independent_set(_edges(spark, sf), fixed_rounds=3)
 
+    def g32_ppr_push_3round(spark, sf):
+        # oracle-gated ACL forward-push approximate PPR (the local-
+        # clustering workhorse whose support is O(1/(ε·α)) independent of
+        # graph size), pinned to 3 synchronous push rounds; round 6 absorbs
+        # float-sum order. The ε-threshold activity decisions compare
+        # float sums — generically far from the boundary, same class of
+        # cross-engine risk the d2/i1b gates already accept.
+        from engine.operators.localcluster import ppr_push
+
+        seeds = spark.createDataFrame([(0,), (7,)], "id long")
+        out = ppr_push(
+            _edges(spark, sf), seeds, alpha=0.15, eps=1e-4, fixed_rounds=3
+        )
+        return out.select(
+            "id", F.round("p", 6).alias("p"), F.round("r", 6).alias("r")
+        )
+
+    def g33_sweep_cut(spark, sf):
+        # oracle-gated sweep cut over the g32 push scores: the conductance
+        # ladder whose argmin is the ACL local community. Order key is
+        # round(p/deg, 9) + id (the operator's documented determinism
+        # policy), cut/vol are exact integers, conductance rounds to 6.
+        from engine.operators.localcluster import ppr_push, sweep_cut
+
+        e = _edges(spark, sf)
+        seeds = spark.createDataFrame([(0,), (7,)], "id long")
+        scores = ppr_push(e, seeds, alpha=0.15, eps=1e-4, fixed_rounds=3)
+        return sweep_cut(e, scores)
+
     def g14_link_prediction(spark, sf):
         # oracle-gated neighbor-overlap link prediction (CN / Jaccard /
         # Adamic-Adar / resource-allocation / preferential-attachment) on
@@ -1467,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_katz_3iter": g13_katz_3iter,
         "g30_eigenvector_3iter": g30_eigenvector_3iter,
         "g31_mis_3round": g31_mis_3round,
+        "g32_ppr_push_3round": g32_ppr_push_3round,
+        "g33_sweep_cut": g33_sweep_cut,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
         "g15_sssp_4round": g15_sssp_4round,
@@ -1992,6 +2023,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(a2.s, 6) AS DOUBLE) AS authority
         FROM h2 JOIN a2 ON a2.id = h2.id
     """
+    # ACL forward-push approximate PPR (localcluster.ppr_push), UNROLLED to
+    # its exact 3 fixed rounds over the simple undirected graph, seeds
+    # {0,7}: per round active = (deg>0 AND r > eps*deg); an active vertex
+    # moves alpha*r into p, keeps (1-alpha)/2*r at home, and spreads
+    # (1-alpha)/2 * r/deg to each neighbor (the lazy-walk push). The
+    # arithmetic mirrors the engine expression-for-expression — IEEE ops
+    # on identical literals are deterministic, only float-SUM order
+    # differs, absorbed by the output round(,6) (the i1b/d2 policy).
+    acl_parts = []
+    for k in range(1, 4):
+        acl_parts.append(f"""act{k} AS MATERIALIZED (
+          SELECT id, p, r, deg, (deg > 0 AND r > 1e-4 * deg) AS active
+          FROM st{k - 1}
+        ), spr{k} AS MATERIALIZED (
+          SELECT u.dst AS id, (1.0 - 0.15) / 2.0 * sum(a.r / a.deg) AS inc
+          FROM act{k} a JOIN und u ON u.src = a.id
+          WHERE a.active GROUP BY u.dst
+        ), st{k} AS MATERIALIZED (
+          SELECT coalesce(a.id, s.id) AS id,
+                 coalesce(a.p, CAST(0.0 AS DOUBLE))
+                   + CASE WHEN coalesce(a.active, false)
+                          THEN 0.15 * a.r ELSE CAST(0.0 AS DOUBLE) END AS p,
+                 CASE WHEN coalesce(a.active, false)
+                      THEN (1.0 - 0.15) / 2.0 * a.r
+                      ELSE coalesce(a.r, CAST(0.0 AS DOUBLE)) END
+                   + coalesce(s.inc, CAST(0.0 AS DOUBLE)) AS r,
+                 coalesce(a.deg, d.deg, 0) AS deg
+          FROM act{k} a FULL OUTER JOIN spr{k} s ON s.id = a.id
+          LEFT JOIN deg d ON d.id = coalesce(a.id, s.id)
+        )""")
+    acl_push_ctes = f"""base AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+        ),
+        und AS MATERIALIZED (
+            SELECT src, dst FROM base UNION SELECT dst, src FROM base
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS id, count(*) AS deg FROM und GROUP BY src
+        ),
+        st0 AS MATERIALIZED (
+            SELECT s.id, CAST(0.0 AS DOUBLE) AS p, CAST(0.5 AS DOUBLE) AS r,
+                   coalesce(d.deg, 0) AS deg
+            FROM (SELECT CAST(0 AS BIGINT) AS id UNION ALL SELECT 7) s
+            LEFT JOIN deg d ON d.id = s.id
+        ),
+        {','.join(acl_parts)}"""
+
     sql = {
         "a1_out_degree": f"SELECT src, count(*) AS deg FROM ({_EDGES_SQL}) GROUP BY src",
         "a2_dangling_nodes": """
@@ -3118,6 +3196,67 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT id, 'covered' FROM cov2
             UNION ALL SELECT id, 'covered' FROM cov3
             UNION ALL SELECT id, 'live' FROM live3
+        """,
+        # ACL forward push, 3 unrolled rounds (shared CTE prefix above)
+        "g32_ppr_push_3round": f"""
+            WITH {acl_push_ctes}
+            SELECT id, CAST(round(p, 6) AS DOUBLE) AS p,
+                   CAST(round(r, 6) AS DOUBLE) AS r
+            FROM st3
+        """,
+        # sweep cut over the same push scores: order by round(p/deg, 9)
+        # desc then id (the operator's documented determinism policy), cut
+        # via open/close interval counting — an unordered edge {u,v} is cut
+        # by prefix t iff minpos <= t < maxpos, one-endpoint-outside edges
+        # never close — and vol as the running degree sum; cut/vol exact
+        # integers, conductance rounds to 6
+        "g33_sweep_cut": f"""
+            WITH {acl_push_ctes},
+            tm AS (SELECT count(*) AS c FROM und),
+            ranked AS MATERIALIZED (
+                SELECT s.id, d.deg,
+                       CAST(row_number() OVER (
+                           ORDER BY round(s.p / d.deg, 9) DESC, s.id ASC)
+                         AS BIGINT) AS pos
+                FROM st3 s JOIN deg d ON d.id = s.id
+                WHERE s.p > 0
+            ),
+            epos AS MATERIALIZED (
+                SELECT CASE WHEN ps IS NULL THEN pd
+                            WHEN pd IS NULL THEN ps
+                            WHEN ps < pd THEN ps ELSE pd END AS minpos,
+                       CASE WHEN ps IS NOT NULL AND pd IS NOT NULL THEN
+                            CASE WHEN ps > pd THEN ps ELSE pd END END AS maxpos
+                FROM (
+                    SELECT rs.pos AS ps, rd.pos AS pd
+                    FROM (SELECT src, dst FROM und WHERE src < dst) h
+                    LEFT JOIN ranked rs ON rs.id = h.src
+                    LEFT JOIN ranked rd ON rd.id = h.dst
+                    WHERE rs.pos IS NOT NULL OR rd.pos IS NOT NULL
+                )
+            ),
+            opens AS (SELECT minpos AS pos, count(*) AS opened
+                      FROM epos GROUP BY minpos),
+            closes AS (SELECT maxpos AS pos, count(*) AS closed
+                       FROM epos WHERE maxpos IS NOT NULL GROUP BY maxpos),
+            cum AS (
+                SELECT r.pos, r.id,
+                       CAST(sum(coalesce(o.opened, 0)) OVER w
+                            - sum(coalesce(c.closed, 0)) OVER w AS BIGINT) AS cut,
+                       CAST(sum(r.deg) OVER w AS BIGINT) AS vol
+                FROM ranked r
+                LEFT JOIN opens o ON o.pos = r.pos
+                LEFT JOIN closes c ON c.pos = r.pos
+                WINDOW w AS (ORDER BY r.pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT pos, id, cut, vol,
+                   CASE WHEN least(vol, (SELECT c FROM tm) - vol) > 0
+                        THEN CAST(round(CAST(cut AS DOUBLE)
+                                 / least(vol, (SELECT c FROM tm) - vol), 6)
+                             AS DOUBLE)
+                   END AS conductance
+            FROM cum
         """,
         # deterministic walk corpus: the oracle replays the md5 neighbor
         # choice hop by hop over the same row_number'd adjacency

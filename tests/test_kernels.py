@@ -1199,6 +1199,154 @@ def test_mis_self_loop_only_node_is_isolated(spark):
 
 
 # ---------------------------------------------------------------------------
+# ACL local clustering (PPR forward-push + sweep cut)
+# ---------------------------------------------------------------------------
+
+def _und_py(edges):
+    und: dict[int, set] = {}
+    for u, v in edges:
+        if u != v:
+            und.setdefault(u, set()).add(v)
+            und.setdefault(v, set()).add(u)
+    return und
+
+
+def _ppr_push_py(edges, seeds, alpha, eps, rounds=None):
+    """Synchronous lazy-push replay (python floats)."""
+    und = _und_py(edges)
+    deg = {v: len(s) for v, s in und.items()}
+    seeds = sorted(set(seeds))
+    p: dict[int, float] = {}
+    r = {s: 1.0 / len(seeds) for s in seeds}
+    rd = 0
+    while rounds is None or rd < rounds:
+        active = [u for u in r if deg.get(u, 0) > 0 and r[u] > eps * deg[u]]
+        if not active:
+            break
+        rd += 1
+        assert rd <= 500
+        inc: dict[int, float] = {}
+        for u in active:
+            for v in und[u]:
+                inc[v] = inc.get(v, 0.0) + (1 - alpha) / 2 * r[u] / deg[u]
+        newr = {}
+        for u in set(r) | set(inc):
+            base = (1 - alpha) / 2 * r[u] if u in active else r.get(u, 0.0)
+            newr[u] = base + inc.get(u, 0.0)
+        for u in active:
+            p[u] = p.get(u, 0.0) + alpha * r[u]
+        r = newr
+    return p, r
+
+
+def test_ppr_push_vs_python_replay_and_acl_invariants(spark):
+    import numpy as np
+
+    from engine.operators.localcluster import ppr_push
+
+    n = 30
+    edges = _sparse_graph(n=n, m=70, seed=50) + [(i, (i + 1) % n) for i in range(n)]
+    alpha, eps = 0.15, 1e-4
+    seeds = spark.createDataFrame([(0,), (7,)], "id long")
+    m = []
+    rows = ppr_push(_edges_df(spark, edges), seeds, alpha=alpha, eps=eps, metrics=m).collect()
+    got_p = {r.id: r.p for r in rows}
+    got_r = {r.id: r.r for r in rows}
+    want_p, want_r = _ppr_push_py(edges, [0, 7], alpha, eps)
+    for v in set(got_p) | set(want_p):
+        assert abs(got_p.get(v, 0.0) - want_p.get(v, 0.0)) < 1e-12, v
+        assert abs(got_r.get(v, 0.0) - want_r.get(v, 0.0)) < 1e-12, v
+
+    # ACL identity: pi_exact - p == alpha * r (I - (1-alpha) W_lazy)^-1,
+    # elementwise, with r(u) <= eps*deg(u) at termination
+    und = _und_py(edges)
+    deg = np.array([len(und[v]) for v in range(n)], dtype=float)
+    A = np.zeros((n, n))
+    for u, nbrs in und.items():
+        for v in nbrs:
+            A[u, v] = 1.0
+    W = (np.eye(n) + A / deg[:, None]) / 2.0  # lazy row-stochastic walk
+    s = np.zeros(n)
+    s[0] = s[7] = 0.5
+    M = np.linalg.inv(np.eye(n) - (1 - alpha) * W)
+    pi = alpha * s @ M
+    pvec = np.array([got_p.get(v, 0.0) for v in range(n)])
+    rvec = np.array([got_r.get(v, 0.0) for v in range(n)])
+    assert np.all(rvec <= eps * deg + 1e-15)
+    assert np.allclose(pi - pvec, alpha * rvec @ M, atol=1e-12)
+    assert abs(pvec.sum() + rvec.sum() - 1.0) < 1e-12  # mass conservation
+
+
+def test_ppr_push_fixed_rounds_matches_replay(spark):
+    from engine.operators.localcluster import ppr_push
+
+    edges = _sparse_graph(n=60, m=150, seed=51)
+    seeds = spark.createDataFrame([(1,)], "id long")
+    rows = ppr_push(
+        _edges_df(spark, edges), seeds, alpha=0.2, eps=1e-7, fixed_rounds=3
+    ).collect()
+    want_p, want_r = _ppr_push_py(edges, [1], 0.2, 1e-7, rounds=3)
+    got_p = {r.id: r.p for r in rows}
+    got_r = {r.id: r.r for r in rows}
+    assert set(got_p) == set(want_p) | set(want_r)
+    for v in got_p:
+        assert abs(got_p[v] - want_p.get(v, 0.0)) < 1e-12
+        assert abs(got_r[v] - want_r.get(v, 0.0)) < 1e-12
+
+
+def _sweep_py(edges, scores):
+    und = _und_py(edges)
+    deg = {v: len(s) for v, s in und.items()}
+    two_m = sum(deg.values())
+    order = sorted(
+        (v for v in scores if scores[v] > 0 and deg.get(v, 0) > 0),
+        key=lambda v: (-round(scores[v] / deg[v], 9), v),
+    )
+    out = []
+    S: set = set()
+    for t, v in enumerate(order, 1):
+        S.add(v)
+        cut = sum(1 for u in S for w in und[u] if w not in S)
+        vol = sum(deg[u] for u in S)
+        dn = min(vol, two_m - vol)
+        out.append((t, v, cut, vol, round(cut / dn, 6) if dn > 0 else None))
+    return out
+
+
+def test_sweep_cut_vs_brute_force(spark):
+    from engine.operators.localcluster import sweep_cut
+
+    edges = _sparse_graph(n=40, m=90, seed=52)
+    # scores over a subset only (some swept vertices have unswept
+    # neighbors -> exercises the open-ended cut edges)
+    scores = {v: 1.0 / (1 + (v * 7) % 11) for v in range(0, 40, 2)}
+    sdf = spark.createDataFrame(
+        [(v, s) for v, s in scores.items()], "id long, p double"
+    )
+    got = [
+        (r.pos, r.id, r.cut, r.vol, r.conductance)
+        for r in sweep_cut(_edges_df(spark, edges), sdf).orderBy("pos").collect()
+    ]
+    assert got == _sweep_py(edges, scores)
+
+
+def test_acl_cluster_recovers_planted_community(spark):
+    from engine.operators.localcluster import acl_cluster
+
+    # two 8-cliques bridged by one edge; seeding inside one clique must
+    # recover exactly that clique (its conductance 1/57 beats every
+    # other prefix)
+    k1 = [(i, j) for i in range(8) for j in range(8) if i < j]
+    k2 = [(10 + i, 10 + j) for i in range(8) for j in range(8) if i < j]
+    edges = k1 + k2 + [(0, 10)]
+    seeds = spark.createDataFrame([(3,)], "id long")
+    got = sorted(
+        r.id for r in acl_cluster(_edges_df(spark, edges), seeds, eps=1e-6).collect()
+    )
+    assert got == list(range(8))
+
+
+# ---------------------------------------------------------------------------
 # link prediction (neighbor-overlap scores)
 # ---------------------------------------------------------------------------
 
