@@ -841,6 +841,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scores = ppr_push(e, seeds, alpha=0.15, eps=1e-4, fixed_rounds=3)
         return sweep_cut(e, scores)
 
+    def g34_matching_3round(spark, sf):
+        # oracle-gated local-dominant-edge maximal matching (Hoepman 2004 /
+        # Israeli-Itai), pinned to 3 rounds; md5-string EDGE priorities are
+        # engine-portable — the g31 technique on edges instead of vertices
+        from engine.operators.matching import maximal_matching
+
+        return maximal_matching(_edges(spark, sf), fixed_rounds=3)
+
+    def g35_peel_3round(spark, sf):
+        # oracle-gated density-adaptive peel (Bahmani et al. VLDB 2012
+        # densest-subgraph rounds), pinned to 3: every count is an exact
+        # integer and the only float is the threshold 2.2*|E|/|S|, an IEEE
+        # expression both engines compute bit-identically (boundary hits
+        # need an integer degree EXACTLY equal to it — the g32 risk class)
+        from engine.operators.densest import peel_decomposition
+
+        return peel_decomposition(_edges(spark, sf), eps=0.1, fixed_rounds=3)
+
     def g14_link_prediction(spark, sf):
         # oracle-gated neighbor-overlap link prediction (CN / Jaccard /
         # Adamic-Adar / resource-allocation / preferential-attachment) on
@@ -1498,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g31_mis_3round": g31_mis_3round,
         "g32_ppr_push_3round": g32_ppr_push_3round,
         "g33_sweep_cut": g33_sweep_cut,
+        "g34_matching_3round": g34_matching_3round,
+        "g35_peel_3round": g35_peel_3round,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
         "g15_sssp_4round": g15_sssp_4round,
@@ -3257,6 +3277,73 @@ def oracle_sql() -> dict[str, str]:
                              AS DOUBLE)
                    END AS conductance
             FROM cum
+        """,
+        # local-dominant-edge matching, 3 unrolled rounds: md5-string EDGE
+        # priorities (uniform draw + '|a|b' tie-break = total order,
+        # portable), per-vertex min over incident edges, select edges that
+        # are the min at BOTH ends, drop all edges touching a matched vertex
+        "g34_matching_3round": f"""
+            WITH live0 AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM ({_EDGES_SQL}) WHERE src <> dst
+            ),
+            {','.join(
+                f'''pri{k} AS MATERIALIZED (
+                  SELECT a, b,
+                         md5(a::VARCHAR || '|' || b::VARCHAR || '|{k}|match')
+                           || '|' || a::VARCHAR || '|' || b::VARCHAR AS p
+                  FROM live{k - 1}
+                ), vmin{k} AS MATERIALIZED (
+                  SELECT v, min(p) AS mp FROM (
+                    SELECT a AS v, p FROM pri{k}
+                    UNION ALL SELECT b, p FROM pri{k}) GROUP BY v
+                ), sel{k} AS MATERIALIZED (
+                  SELECT pr.a, pr.b FROM pri{k} pr
+                  JOIN vmin{k} va ON va.v = pr.a AND va.mp = pr.p
+                  JOIN vmin{k} vb ON vb.v = pr.b AND vb.mp = pr.p
+                ), mv{k} AS MATERIALIZED (
+                  SELECT a AS v FROM sel{k} UNION SELECT b FROM sel{k}
+                ), live{k} AS MATERIALIZED (
+                  SELECT a, b FROM live{k - 1}
+                  WHERE a NOT IN (SELECT v FROM mv{k})
+                    AND b NOT IN (SELECT v FROM mv{k})
+                )''' for k in range(1, 4)
+            )}
+            SELECT a, b, CAST(1 AS INT) AS round FROM sel1
+            UNION ALL SELECT a, b, CAST(2 AS INT) FROM sel2
+            UNION ALL SELECT a, b, CAST(3 AS INT) FROM sel3
+        """,
+        # density-adaptive peel, 3 unrolled rounds: per round compute the
+        # exact-integer (|S|, 2|E(S)|), peel deg <= 2.0*(1.0+0.1) * density
+        # (the engine's exact IEEE expression), shrink the edge set to
+        # surviving endpoints; NULL peel_round = survives all 3 rounds
+        "g35_peel_3round": f"""
+            WITH base AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+            ),
+            und0 AS MATERIALIZED (
+                SELECT src, dst FROM base UNION SELECT dst, src FROM base
+            ),
+            {','.join(
+                f'''deg{k} AS MATERIALIZED (
+                  SELECT src AS id, count(*) AS deg FROM und{k - 1} GROUP BY src
+                ), tot{k} AS MATERIALIZED (
+                  SELECT count(*) AS n, CAST(sum(deg) AS BIGINT) AS deg2 FROM deg{k}
+                ), peel{k} AS MATERIALIZED (
+                  SELECT d.id FROM deg{k} d, tot{k} t
+                  WHERE d.deg <= (2.0 * (1.0 + 0.1))
+                        * (CAST(t.deg2 AS DOUBLE) / 2.0 / CAST(t.n AS DOUBLE))
+                ), und{k} AS MATERIALIZED (
+                  SELECT src, dst FROM und{k - 1}
+                  WHERE src NOT IN (SELECT id FROM peel{k})
+                    AND dst NOT IN (SELECT id FROM peel{k})
+                )''' for k in range(1, 4)
+            )}
+            SELECT id, CAST(1 AS INT) AS peel_round FROM peel1
+            UNION ALL SELECT id, CAST(2 AS INT) FROM peel2
+            UNION ALL SELECT id, CAST(3 AS INT) FROM peel3
+            UNION ALL SELECT DISTINCT id, CAST(NULL AS INT) FROM (
+                SELECT src AS id FROM und3 UNION SELECT dst FROM und3)
         """,
         # deterministic walk corpus: the oracle replays the md5 neighbor
         # choice hop by hop over the same row_number'd adjacency

@@ -1347,6 +1347,167 @@ def test_acl_cluster_recovers_planted_community(spark):
 
 
 # ---------------------------------------------------------------------------
+# greedy maximal matching (local-dominant edges)
+# ---------------------------------------------------------------------------
+
+def _matching_py(edges, rounds=None, salt="match"):
+    """Exact replay of the kernel's md5-priority local-dominant rounds."""
+    import hashlib
+
+    live = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    matched = []
+    r = 0
+    while live and (rounds is None or r < rounds):
+        r += 1
+        assert r <= 100
+        pri = {
+            e: hashlib.md5(f"{e[0]}|{e[1]}|{r}|{salt}".encode()).hexdigest()
+            + f"|{e[0]}|{e[1]}"
+            for e in live
+        }
+        vmin: dict[int, str] = {}
+        for (a, b), p in pri.items():
+            for v in (a, b):
+                if v not in vmin or p < vmin[v]:
+                    vmin[v] = p
+        sel = [e for e in live if pri[e] == vmin[e[0]] and pri[e] == vmin[e[1]]]
+        mv = {v for e in sel for v in e}
+        matched.extend((a, b, r) for a, b in sel)
+        live = {e for e in live if e[0] not in mv and e[1] not in mv}
+    return sorted(matched)
+
+
+def test_matching_vs_python_oracle_and_properties(spark):
+    from engine.operators.matching import maximal_matching
+
+    edges = _sparse_graph(n=120, m=300, seed=46)
+    m = []
+    got = sorted(
+        (r.a, r.b, r.round)
+        for r in maximal_matching(_edges_df(spark, edges), metrics=m).collect()
+    )
+    assert got == _matching_py(edges)
+
+    # validity: no vertex appears in two matched edges
+    seen: set = set()
+    for a, b, _ in got:
+        assert a not in seen and b not in seen and a < b
+        seen.update((a, b))
+    # maximality: every simple edge has at least one matched endpoint
+    for u, v in edges:
+        if u != v:
+            assert u in seen or v in seen, (u, v)
+    assert m[-1]["live_after"] == 0
+    assert sum(x["selected"] for x in m) == len(got)
+
+
+def test_matching_fixed_rounds_matches_replay(spark):
+    from engine.operators.matching import maximal_matching
+
+    edges = _sparse_graph(n=200, m=700, seed=47)
+    got = sorted(
+        (r.a, r.b, r.round)
+        for r in maximal_matching(
+            _edges_df(spark, edges), fixed_rounds=2
+        ).collect()
+    )
+    want = _matching_py(edges, rounds=2)
+    assert got == want
+    # 2 rounds on a 700-edge graph must leave work undone vs convergence
+    assert len(want) < len(_matching_py(edges))
+
+
+def test_matching_empty_and_self_loop_graph(spark):
+    from engine.operators.matching import maximal_matching
+
+    out = maximal_matching(_edges_df(spark, [(5, 5), (9, 9)]))
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["a", "b", "round"]
+
+
+# ---------------------------------------------------------------------------
+# densest subgraph (Bahmani et al. parallel peeling)
+# ---------------------------------------------------------------------------
+
+def _peel_py(edges, eps=0.1, rounds=None):
+    """Exact replay of the density-adaptive peel (python floats)."""
+    und = _und_py(edges)
+    factor = 2.0 * (1.0 + eps)
+    labels = {}
+    stats = []
+    r = 0
+    while und and (rounds is None or r < rounds):
+        r += 1
+        assert r <= 200
+        n = len(und)
+        m2 = sum(len(s) for s in und.values())
+        density = float(m2) / 2.0 / float(n)
+        stats.append((r, n, m2 // 2, density))
+        peel = {v for v, s in und.items() if len(s) <= factor * density}
+        for v in peel:
+            labels[v] = r
+        und = {
+            v: {w for w in s if w not in peel}
+            for v, s in und.items()
+            if v not in peel
+        }
+        und = {v: s for v, s in und.items() if s}
+    for v in und:
+        labels[v] = None
+    return labels, stats
+
+
+def test_peel_decomposition_vs_python_replay(spark):
+    from engine.operators.densest import peel_decomposition
+
+    edges = _sparse_graph(n=80, m=240, seed=48)
+    m = []
+    got = {
+        r.id: r.peel_round
+        for r in peel_decomposition(_edges_df(spark, edges), metrics=m).collect()
+    }
+    want, stats = _peel_py(edges)
+    assert got == want
+    assert len(m) == len(stats)
+    for e, (r, n, me, d) in zip(m, stats):
+        assert (e["round"], e["n_vertices"], e["n_edges"]) == (r, n, me)
+        assert abs(e["density"] - d) < 1e-15
+
+
+def test_peel_fixed_rounds_leaves_survivors(spark):
+    from engine.operators.densest import peel_decomposition
+
+    edges = _sparse_graph(n=100, m=400, seed=49)
+    got = {
+        r.id: r.peel_round
+        for r in peel_decomposition(
+            _edges_df(spark, edges), fixed_rounds=2
+        ).collect()
+    }
+    want, _ = _peel_py(edges, rounds=2)
+    assert got == want
+    assert any(v is None for v in got.values())  # NULL = survivor contract
+
+
+def test_densest_subgraph_recovers_planted_clique(spark):
+    from engine.operators.densest import densest_subgraph
+
+    # 12-clique (density 5.5) dangling off a long path (density ~1)
+    clique = [(i, j) for i in range(12) for j in range(12) if i < j]
+    path = [(100 + i, 101 + i) for i in range(60)] + [(0, 100)]
+    m = []
+    got = sorted(
+        r.id
+        for r in densest_subgraph(
+            _edges_df(spark, clique + path), metrics=m
+        ).collect()
+    )
+    assert got == list(range(12))
+    best = max(m, key=lambda e: e["density"])
+    assert abs(best["density"] - 5.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
 # link prediction (neighbor-overlap scores)
 # ---------------------------------------------------------------------------
 
