@@ -859,6 +859,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return peel_decomposition(_edges(spark, sf), eps=0.1, fixed_rounds=3)
 
+    def d9_line_dedupe(spark, sf):
+        # oracle-gated C4-style global line dedup (keep ONE occurrence of
+        # every repeated line corpus-wide, min (doc_id,pos) wins, reassemble
+        # docs). The driver documents are single-line word soup, so both
+        # engines synthesize the same multi-line corpus from doc_id
+        # arithmetic (the p10 technique): 3-7 lines per doc drawn from 199
+        # distinct line values — ~12x global duplication at sf0.01.
+        from engine.operators.dedupe import line_dedupe
+
+        lined = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("doc_id") % 5 + 2),
+                    lambda j: F.concat(
+                        F.lit("w"),
+                        ((F.col("doc_id") * 7 + j * 13) % 199).cast("string"),
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        return line_dedupe(lined)
+
     def g14_link_prediction(spark, sf):
         # oracle-gated neighbor-overlap link prediction (CN / Jaccard /
         # Adamic-Adar / resource-allocation / preferential-attachment) on
@@ -1518,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g33_sweep_cut": g33_sweep_cut,
         "g34_matching_3round": g34_matching_3round,
         "g35_peel_3round": g35_peel_3round,
+        "d9_line_dedupe": d9_line_dedupe,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
         "g15_sssp_4round": g15_sssp_4round,
@@ -3344,6 +3369,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT id, CAST(3 AS INT) FROM peel3
             UNION ALL SELECT DISTINCT id, CAST(NULL AS INT) FROM (
                 SELECT src AS id FROM und3 UNION SELECT dst FROM und3)
+        """,
+        # C4 global line dedup on the same synthesized lined corpus the
+        # Spark query builds (doc_id arithmetic — the p10 technique):
+        # keep-first = row_number over (line ORDER BY doc_id, pos),
+        # reassemble with an ordered string_agg
+        "d9_line_dedupe": """
+            WITH lines AS MATERIALIZED (
+                SELECT doc_id, CAST(j AS BIGINT) AS pos,
+                       'w' || CAST((doc_id * 7 + j * 13) % 199 AS VARCHAR) AS line
+                FROM (SELECT doc_id, unnest(range(0, doc_id % 5 + 3)) AS j
+                      FROM documents)
+            ),
+            win AS (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (PARTITION BY line
+                                          ORDER BY doc_id, pos) AS rn
+                FROM lines
+            ),
+            kept AS (SELECT doc_id, pos, line FROM win WHERE rn = 1),
+            tot AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id),
+            re AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(re.text_clean, '') AS text_clean,
+                   CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(coalesce(t.n_total, 0) - coalesce(re.n_kept, 0) AS BIGINT)
+                       AS n_lines_dropped
+            FROM documents d
+            LEFT JOIN tot t ON t.doc_id = d.doc_id
+            LEFT JOIN re ON re.doc_id = d.doc_id
         """,
         # deterministic walk corpus: the oracle replays the md5 neighbor
         # choice hop by hop over the same row_number'd adjacency

@@ -48,6 +48,77 @@ def dedupe_exact_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def line_dedupe(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style global line dedup (Raffel et al. 2020 §2.2: keep ONE
+    occurrence of every repeated line across the whole corpus).
+
+    Split each doc on `sep`, trim lines, drop empties; for every distinct
+    line content keep exactly the occurrence with the smallest
+    (doc_id, position) and delete all others corpus-wide; reassemble each
+    doc from its surviving lines in original order. Returns
+    (id, text_clean STRING, n_lines_kept BIGINT, n_lines_dropped BIGINT)
+    with one row per input doc (a doc whose every line lost dedup — the
+    boilerplate-only page — keeps an empty text_clean).
+
+    Scale shape: occurrences shuffle by md5(line) — 16-byte keys, never
+    the raw text — into a partial-agg min(struct(id,pos)) (map-side
+    combine collapses hot boilerplate lines before the exchange); winners
+    join back on the same hash key (AQE skew-split handles mega-lines);
+    reassembly is one groupBy(id) sort_array/array_join. Two shuffles
+    total, both on compact keys.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_raw"),
+        )
+        .select("_id", "_pos", F.trim(F.col("_raw")).alias("_line"))
+        .filter(F.col("_line") != "")
+        .select("_id", "_pos", "_line", F.md5(F.col("_line").cast("binary")).alias("_h"))
+    )
+    winners = lines.groupBy("_h").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("_pos").alias("p"))).alias("_w")
+    )
+    kept = (
+        lines.join(winners, "_h")
+        .filter((F.col("_id") == F.col("_w.i")) & (F.col("_pos") == F.col("_w.p")))
+        .select("_id", "_pos", "_line")
+    )
+    # per-line totals per doc (for the dropped count) and the reassembly
+    per_doc = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_total"))
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos").alias("p"), F.col("_line").alias("l")))
+                ),
+                lambda s: s["l"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .join(per_doc, "_id", "left")
+        .join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (
+                F.coalesce("_n_total", F.lit(0)) - F.coalesce("n_lines_kept", F.lit(0))
+            ).alias("n_lines_dropped"),
+        )
+    )
+
+
 def keep_longest_text(pages: DataFrame, key_col: str = "url", text_col: str = "text") -> DataFrame:
     """Per key, keep the row with the longest text (api/main.py:67-83).
     max_by(struct) — single hash aggregate, no window sort."""

@@ -47,6 +47,55 @@ def test_dedupe_exact_text(spark):
     assert kept == [1, 3]
 
 
+def _line_dedupe_py(rows, sep="\n"):
+    """Exact replay: global keep-first (min doc_id, pos) per trimmed line."""
+    occs = []  # (id, pos, line)
+    for i, text in rows:
+        for pos, raw in enumerate(text.split(sep)):
+            line = raw.strip()
+            if line:
+                occs.append((i, pos, line))
+    winner = {}
+    for i, pos, line in occs:
+        if line not in winner or (i, pos) < winner[line]:
+            winner[line] = (i, pos)
+    out = {}
+    for i, text in rows:
+        kept, total = [], 0
+        for pos, raw in enumerate(text.split(sep)):
+            line = raw.strip()
+            if not line:
+                continue
+            total += 1
+            if winner[line] == (i, pos):
+                kept.append(line)
+        out[i] = (sep.join(kept), len(kept), total - len(kept))
+    return out
+
+
+def test_line_dedupe_vs_python_replay(spark):
+    rows = [
+        (1, "alpha\nboiler plate\n  gamma  \n\nboiler plate"),  # within-doc dup + ws + empty
+        (2, "boiler plate\ndelta\nalpha"),  # loses two lines to doc 1
+        (3, "boiler plate"),  # boilerplate-only page -> empty text_clean
+        (4, "epsilon\nzeta"),
+        (5, "   \n\n"),  # whitespace-only doc: 0 lines either way
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines_kept, r.n_lines_dropped)
+        for r in dedupe.line_dedupe(df).collect()
+    }
+    assert got == _line_dedupe_py(rows)
+    assert got[3] == ("", 0, 1)
+    assert got[5] == ("", 0, 0)
+    # corpus-wide invariant: every distinct line survives exactly once
+    all_kept = [
+        ln for t, _, _ in got.values() if t for ln in t.split("\n")
+    ]
+    assert len(all_kept) == len(set(all_kept))
+
+
 def test_token_jaccard_pairs(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),
