@@ -841,6 +841,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scores = ppr_push(e, seeds, alpha=0.15, eps=1e-4, fixed_rounds=3)
         return sweep_cut(e, scores)
 
+    def g36_acl_cluster(spark, sf):
+        # oracle-gated END-TO-END ACL composition (push -> sweep -> min-
+        # conductance prefix, smallest-prefix tie-break) over the same
+        # fixed-3-round push as g32/g33 — gates the argmin/prefix glue the
+        # two half-gates can't see
+        from engine.operators.localcluster import acl_cluster
+
+        seeds = spark.createDataFrame([(0,), (7,)], "id long")
+        return acl_cluster(
+            _edges(spark, sf), seeds, alpha=0.15, eps=1e-4, fixed_rounds=3
+        )
+
     def g34_matching_3round(spark, sf):
         # oracle-gated local-dominant-edge maximal matching (Hoepman 2004 /
         # Israeli-Itai), pinned to 3 rounds; md5-string EDGE priorities are
@@ -1542,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g33_sweep_cut": g33_sweep_cut,
         "g34_matching_3round": g34_matching_3round,
         "g35_peel_3round": g35_peel_3round,
+        "g36_acl_cluster": g36_acl_cluster,
         "d9_line_dedupe": d9_line_dedupe,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
@@ -2114,6 +2127,56 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN deg d ON d.id = s.id
         ),
         {','.join(acl_parts)}"""
+    # ... extended through the sweep-cut conductance ladder (g33 output;
+    # g36 takes the min-conductance prefix of the same ladder)
+    acl_sweep_ctes = f"""{acl_push_ctes},
+            tm AS (SELECT count(*) AS c FROM und),
+            ranked AS MATERIALIZED (
+                SELECT s.id, d.deg,
+                       CAST(row_number() OVER (
+                           ORDER BY round(s.p / d.deg, 9) DESC, s.id ASC)
+                         AS BIGINT) AS pos
+                FROM st3 s JOIN deg d ON d.id = s.id
+                WHERE s.p > 0
+            ),
+            epos AS MATERIALIZED (
+                SELECT CASE WHEN ps IS NULL THEN pd
+                            WHEN pd IS NULL THEN ps
+                            WHEN ps < pd THEN ps ELSE pd END AS minpos,
+                       CASE WHEN ps IS NOT NULL AND pd IS NOT NULL THEN
+                            CASE WHEN ps > pd THEN ps ELSE pd END END AS maxpos
+                FROM (
+                    SELECT rs.pos AS ps, rd.pos AS pd
+                    FROM (SELECT src, dst FROM und WHERE src < dst) h
+                    LEFT JOIN ranked rs ON rs.id = h.src
+                    LEFT JOIN ranked rd ON rd.id = h.dst
+                    WHERE rs.pos IS NOT NULL OR rd.pos IS NOT NULL
+                )
+            ),
+            opens AS (SELECT minpos AS pos, count(*) AS opened
+                      FROM epos GROUP BY minpos),
+            closes AS (SELECT maxpos AS pos, count(*) AS closed
+                       FROM epos WHERE maxpos IS NOT NULL GROUP BY maxpos),
+            cum AS (
+                SELECT r.pos, r.id,
+                       CAST(sum(coalesce(o.opened, 0)) OVER w
+                            - sum(coalesce(c.closed, 0)) OVER w AS BIGINT) AS cut,
+                       CAST(sum(r.deg) OVER w AS BIGINT) AS vol
+                FROM ranked r
+                LEFT JOIN opens o ON o.pos = r.pos
+                LEFT JOIN closes c ON c.pos = r.pos
+                WINDOW w AS (ORDER BY r.pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            ladder AS MATERIALIZED (
+                SELECT pos, id, cut, vol,
+                       CASE WHEN least(vol, (SELECT c FROM tm) - vol) > 0
+                            THEN CAST(round(CAST(cut AS DOUBLE)
+                                     / least(vol, (SELECT c FROM tm) - vol), 6)
+                                 AS DOUBLE)
+                       END AS conductance
+                FROM cum
+            )"""
 
     sql = {
         "a1_out_degree": f"SELECT src, count(*) AS deg FROM ({_EDGES_SQL}) GROUP BY src",
@@ -3256,52 +3319,18 @@ def oracle_sql() -> dict[str, str]:
         # never close — and vol as the running degree sum; cut/vol exact
         # integers, conductance rounds to 6
         "g33_sweep_cut": f"""
-            WITH {acl_push_ctes},
-            tm AS (SELECT count(*) AS c FROM und),
-            ranked AS MATERIALIZED (
-                SELECT s.id, d.deg,
-                       CAST(row_number() OVER (
-                           ORDER BY round(s.p / d.deg, 9) DESC, s.id ASC)
-                         AS BIGINT) AS pos
-                FROM st3 s JOIN deg d ON d.id = s.id
-                WHERE s.p > 0
-            ),
-            epos AS MATERIALIZED (
-                SELECT CASE WHEN ps IS NULL THEN pd
-                            WHEN pd IS NULL THEN ps
-                            WHEN ps < pd THEN ps ELSE pd END AS minpos,
-                       CASE WHEN ps IS NOT NULL AND pd IS NOT NULL THEN
-                            CASE WHEN ps > pd THEN ps ELSE pd END END AS maxpos
-                FROM (
-                    SELECT rs.pos AS ps, rd.pos AS pd
-                    FROM (SELECT src, dst FROM und WHERE src < dst) h
-                    LEFT JOIN ranked rs ON rs.id = h.src
-                    LEFT JOIN ranked rd ON rd.id = h.dst
-                    WHERE rs.pos IS NOT NULL OR rd.pos IS NOT NULL
-                )
-            ),
-            opens AS (SELECT minpos AS pos, count(*) AS opened
-                      FROM epos GROUP BY minpos),
-            closes AS (SELECT maxpos AS pos, count(*) AS closed
-                       FROM epos WHERE maxpos IS NOT NULL GROUP BY maxpos),
-            cum AS (
-                SELECT r.pos, r.id,
-                       CAST(sum(coalesce(o.opened, 0)) OVER w
-                            - sum(coalesce(c.closed, 0)) OVER w AS BIGINT) AS cut,
-                       CAST(sum(r.deg) OVER w AS BIGINT) AS vol
-                FROM ranked r
-                LEFT JOIN opens o ON o.pos = r.pos
-                LEFT JOIN closes c ON c.pos = r.pos
-                WINDOW w AS (ORDER BY r.pos
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            WITH {acl_sweep_ctes}
+            SELECT pos, id, cut, vol, conductance FROM ladder
+        """,
+        # end-to-end ACL composition: the ladder's min-conductance prefix,
+        # ties toward the smallest prefix
+        "g36_acl_cluster": f"""
+            WITH {acl_sweep_ctes},
+            best AS (
+                SELECT pos FROM ladder WHERE conductance IS NOT NULL
+                ORDER BY conductance ASC, pos ASC LIMIT 1
             )
-            SELECT pos, id, cut, vol,
-                   CASE WHEN least(vol, (SELECT c FROM tm) - vol) > 0
-                        THEN CAST(round(CAST(cut AS DOUBLE)
-                                 / least(vol, (SELECT c FROM tm) - vol), 6)
-                             AS DOUBLE)
-                   END AS conductance
-            FROM cum
+            SELECT id FROM ladder WHERE pos <= (SELECT pos FROM best)
         """,
         # local-dominant-edge matching, 3 unrolled rounds: md5-string EDGE
         # priorities (uniform draw + '|a|b' tie-break = total order,

@@ -268,15 +268,25 @@ def acl_cluster(
     seeds: DataFrame,
     alpha: float = 0.15,
     eps: float = 1e-5,
+    fixed_rounds: int | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """ACL local community: the minimum-conductance sweep prefix.
 
     Returns the member vertices (id BIGINT) of the best sweep set —
     ties on conductance broken toward the SMALLEST prefix (the tightest
-    community), then by position order determinism.
+    community), then by position order determinism. fixed_rounds pins
+    the push (the unrolled-SQL oracle variant); default runs it to the
+    eps fixpoint.
     """
-    scores = ppr_push(edges, seeds, alpha=alpha, eps=eps, num_partitions=num_partitions)
+    scores = ppr_push(
+        edges,
+        seeds,
+        alpha=alpha,
+        eps=eps,
+        fixed_rounds=fixed_rounds,
+        num_partitions=num_partitions,
+    )
     ladder = sweep_cut(edges, scores, num_partitions=num_partitions)
     best = (
         ladder.filter(F.col("conductance").isNotNull())
