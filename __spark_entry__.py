@@ -871,6 +871,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return peel_decomposition(_edges(spark, sf), eps=0.1, fixed_rounds=3)
 
+    def g37_node2vec_3step(spark, sf):
+        # oracle-gated node2vec biased walk corpus (Grover & Leskovec 2016),
+        # 3 steps, integer weights 4:2:1 (p=0.5, q=2 scaled) — the weighted
+        # draw is exact integer arithmetic (md5-uniform mod total weight over
+        # the dst-sorted cumulative ladder), so DuckDB replays it bit-for-bit
+        # like g12's uniform walks
+        from engine.operators.walks import node2vec_walks
+
+        return node2vec_walks(
+            _edges(spark, sf),
+            3,
+            return_weight=4,
+            in_weight=2,
+            out_weight=1,
+            salt="n2v",
+        )
+
     def d9_line_dedupe(spark, sf):
         # oracle-gated C4-style global line dedup (keep ONE occurrence of
         # every repeated line corpus-wide, min (doc_id,pos) wins, reassemble
@@ -1555,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g34_matching_3round": g34_matching_3round,
         "g35_peel_3round": g35_peel_3round,
         "g36_acl_cluster": g36_acl_cluster,
+        "g37_node2vec_3step": g37_node2vec_3step,
         "d9_line_dedupe": d9_line_dedupe,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
@@ -3434,6 +3452,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic walk corpus: the oracle replays the md5 neighbor
         # choice hop by hop over the same row_number'd adjacency
+        # node2vec biased walks: step 1 uniform (the g12 draw), steps 2-3
+        # weighted 4 (return) : 2 (prev-neighbor) : 1 (else) — the draw is
+        # md5-uniform mod the integer total weight, picked from the
+        # dst-ordered cumulative ladder (exact integers end to end)
+        "g37_node2vec_3step": f"""
+            WITH adjd AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+            ),
+            adj AS MATERIALIZED (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+                FROM adjd
+            ),
+            deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM ({_EDGES_SQL})
+                    UNION ALL SELECT dst FROM ({_EDGES_SQL}))
+            ),
+            f0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur FROM nodes),
+            f1 AS MATERIALIZED (
+                SELECT f.walk_id, f.cur AS prev, a.dst AS cur
+                FROM f0 f
+                JOIN deg d ON d.src = f.cur
+                JOIN adj a ON a.src = f.cur AND a.idx =
+                  (('0x' || substring(md5(f.cur::VARCHAR || '|1|' ||
+                      f.walk_id::VARCHAR || '|n2v'), 1, 8))::BIGINT % d.deg)
+            ),
+            {','.join(
+                f'''c{s} AS MATERIALIZED (
+                  SELECT f.walk_id, f.prev, f.cur, a.dst,
+                         CAST(CASE WHEN a.dst = f.prev THEN 4
+                              WHEN nb.src IS NOT NULL THEN 2
+                              ELSE 1 END AS BIGINT) AS w
+                  FROM f{s - 1} f
+                  JOIN adjd a ON a.src = f.cur
+                  LEFT JOIN adjd nb ON nb.src = f.prev AND nb.dst = a.dst
+                ), p{s} AS MATERIALIZED (
+                  SELECT walk_id, cur, dst FROM (
+                    SELECT walk_id, cur, dst, w,
+                           sum(w) OVER (PARTITION BY walk_id ORDER BY dst
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cw,
+                           sum(w) OVER (PARTITION BY walk_id) AS tw,
+                           ('0x' || substring(md5(cur::VARCHAR || '|{s}|' ||
+                               walk_id::VARCHAR || '|n2v'), 1, 8))::BIGINT AS hsh
+                    FROM c{s})
+                  WHERE tw > 0 AND cw - w <= hsh % tw AND hsh % tw < cw
+                ), f{s} AS MATERIALIZED (
+                  SELECT walk_id, cur AS prev, dst AS cur FROM p{s}
+                )''' for s in range(2, 4)
+            )}
+            SELECT walk_id, 0::BIGINT AS step, cur AS node FROM f0
+            UNION ALL SELECT walk_id, 1::BIGINT, cur FROM f1
+            UNION ALL SELECT walk_id, 2::BIGINT, cur FROM f2
+            UNION ALL SELECT walk_id, 3::BIGINT, cur FROM f3
+        """,
         "g12_random_walks": f"""
             WITH adjd AS MATERIALIZED (
                 SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
