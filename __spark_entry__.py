@@ -871,6 +871,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return peel_decomposition(_edges(spark, sf), eps=0.1, fixed_rounds=3)
 
+    def g38_coloring_3round(spark, sf):
+        # oracle-gated Jones-Plassmann greedy coloring pinned to 3 rounds:
+        # ONE fixed md5 priority per vertex (the JP permutation), winners
+        # take the mex over colored neighbors — completes the symmetry-
+        # breaking family (g31 MIS on vertices, g34 matching on edges,
+        # coloring on the conflict structure); NULL color = still uncolored
+        from engine.operators.coloring import greedy_coloring
+
+        return greedy_coloring(_edges(spark, sf), fixed_rounds=3)
+
     def g37_node2vec_3step(spark, sf):
         # oracle-gated node2vec biased walk corpus (Grover & Leskovec 2016),
         # 3 steps, integer weights 4:2:1 (p=0.5, q=2 scaled) — the weighted
@@ -1573,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g35_peel_3round": g35_peel_3round,
         "g36_acl_cluster": g36_acl_cluster,
         "g37_node2vec_3step": g37_node2vec_3step,
+        "g38_coloring_3round": g38_coloring_3round,
         "d9_line_dedupe": d9_line_dedupe,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
@@ -3452,6 +3463,68 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic walk corpus: the oracle replays the md5 neighbor
         # choice hop by hop over the same row_number'd adjacency
+        # Jones-Plassmann coloring, 3 unrolled rounds: fixed md5-string
+        # priorities (ONE draw — the JP permutation), min over uncolored
+        # neighbors, mex over colored neighbors via a range anti-join
+        "g38_coloring_3round": f"""
+            WITH base AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ({_EDGES_SQL}) WHERE src <> dst
+            ),
+            und AS MATERIALIZED (
+                SELECT src, dst FROM base UNION SELECT dst, src FROM base
+            ),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM ({_EDGES_SQL})
+                    UNION ALL SELECT dst FROM ({_EDGES_SQL}))
+            ),
+            pri AS MATERIALIZED (
+                SELECT id, md5(id::VARCHAR || '|jp') || '|' || id::VARCHAR AS p
+                FROM nodes
+            ),
+            unc0 AS MATERIALIZED (SELECT id FROM nodes),
+            allcol0 AS MATERIALIZED (
+                SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS INT) AS color
+                WHERE 1 = 0
+            ),
+            {','.join(
+                f'''nbrmin{k} AS MATERIALIZED (
+                  SELECT u.src AS id, min(pd.p) AS np
+                  FROM und u JOIN pri pd ON pd.id = u.dst
+                  WHERE u.dst IN (SELECT id FROM unc{k - 1})
+                    AND u.src IN (SELECT id FROM unc{k - 1})
+                  GROUP BY u.src
+                ), win{k} AS MATERIALIZED (
+                  SELECT n.id FROM unc{k - 1} n
+                  JOIN pri p ON p.id = n.id
+                  LEFT JOIN nbrmin{k} m ON m.id = n.id
+                  WHERE m.np IS NULL OR p.p < m.np
+                ), used{k} AS MATERIALIZED (
+                  SELECT DISTINCT u.src AS id, c.color
+                  FROM und u JOIN allcol{k - 1} c ON c.id = u.dst
+                  WHERE u.src IN (SELECT id FROM win{k})
+                ), usedcnt{k} AS MATERIALIZED (
+                  SELECT id, count(*) AS cnt FROM used{k} GROUP BY id
+                ), col{k} AS MATERIALIZED (
+                  SELECT x.id, CAST(min(x.cand) AS INT) AS color,
+                         CAST({k} AS INT) AS round
+                  FROM (
+                    SELECT w.id, unnest(range(0, coalesce(uc.cnt, 0) + 1)) AS cand
+                    FROM win{k} w LEFT JOIN usedcnt{k} uc ON uc.id = w.id) x
+                  LEFT JOIN used{k} ud ON ud.id = x.id AND ud.color = x.cand
+                  WHERE ud.color IS NULL GROUP BY x.id
+                ), allcol{k} AS MATERIALIZED (
+                  SELECT id, color FROM allcol{k - 1}
+                  UNION ALL SELECT id, color FROM col{k}
+                ), unc{k} AS MATERIALIZED (
+                  SELECT id FROM unc{k - 1} EXCEPT SELECT id FROM win{k}
+                )''' for k in range(1, 4)
+            )}
+            SELECT id, color, round FROM col1
+            UNION ALL SELECT id, color, round FROM col2
+            UNION ALL SELECT id, color, round FROM col3
+            UNION ALL SELECT id, CAST(NULL AS INT), CAST(NULL AS INT) FROM unc3
+        """,
         # node2vec biased walks: step 1 uniform (the g12 draw), steps 2-3
         # weighted 4 (return) : 2 (prev-neighbor) : 1 (else) — the draw is
         # md5-uniform mod the integer total weight, picked from the

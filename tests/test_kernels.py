@@ -1426,6 +1426,87 @@ def test_matching_empty_and_self_loop_graph(spark):
 
 
 # ---------------------------------------------------------------------------
+# Jones-Plassmann greedy coloring
+# ---------------------------------------------------------------------------
+
+def _coloring_py(edges, rounds=None, salt="jp"):
+    """Exact replay of the kernel's fixed-md5-priority JP rounds."""
+    import hashlib
+
+    und = _und_py(edges)
+    nodes = sorted({u for e in edges for u in e})
+    pri = {
+        v: hashlib.md5(f"{v}|{salt}".encode()).hexdigest() + f"|{v}" for v in nodes
+    }
+    color: dict = {}
+    unc = set(nodes)
+    r = 0
+    while unc and (rounds is None or r < rounds):
+        r += 1
+        assert r <= 200
+        winners = [
+            v
+            for v in unc
+            if all(pri[v] < pri[u] for u in und.get(v, ()) if u in unc)
+        ]
+        for v in winners:
+            used = {color[u][0] for u in und.get(v, ()) if u in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = (c, r)
+        unc -= set(winners)
+    for v in unc:
+        color[v] = (None, None)
+    return {v: (c, rr) for v, (c, rr) in color.items()}
+
+
+def test_coloring_vs_python_replay_and_properties(spark):
+    from engine.operators.coloring import greedy_coloring
+
+    edges = _sparse_graph(n=100, m=350, seed=53)
+    m = []
+    got = {
+        r.id: (r.color, r.round)
+        for r in greedy_coloring(_edges_df(spark, edges), metrics=m).collect()
+    }
+    assert got == _coloring_py(edges)
+    # proper coloring + Delta+1 bound
+    und = _und_py(edges)
+    for u, nbrs in und.items():
+        for v in nbrs:
+            assert got[u][0] != got[v][0], (u, v)
+    max_deg = max(len(s) for s in und.values())
+    assert max(c for c, _ in got.values()) <= max_deg
+    assert m[-1]["uncolored_after"] == 0
+
+
+def test_coloring_fixed_rounds_matches_replay(spark):
+    from engine.operators.coloring import greedy_coloring
+
+    edges = _sparse_graph(n=150, m=600, seed=54)
+    got = {
+        r.id: (r.color, r.round)
+        for r in greedy_coloring(_edges_df(spark, edges), fixed_rounds=2).collect()
+    }
+    want = _coloring_py(edges, rounds=2)
+    assert got == want
+    assert any(c is None for c, _ in got.values())  # NULL = uncolored contract
+
+
+def test_coloring_triangle_needs_three_colors(spark):
+    from engine.operators.coloring import greedy_coloring
+
+    got = {
+        r.id: r.color
+        for r in greedy_coloring(
+            _edges_df(spark, [(0, 1), (1, 2), (2, 0)])
+        ).collect()
+    }
+    assert sorted(got.values()) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
 # densest subgraph (Bahmani et al. parallel peeling)
 # ---------------------------------------------------------------------------
 
