@@ -172,6 +172,46 @@ def main(argv=None):
         lv.write.mode("overwrite").parquet(os.path.join(args.out, "dag_levels"))
         meta["condense_sec"] = round(time.time() - t0, 3)
 
+    if "mis" in wanted:
+        from engine.operators.mis import maximal_independent_set
+
+        t0 = time.time()
+        mis_metrics: list = []
+        mi = maximal_independent_set(edges, max_rounds=args.max_iter, metrics=mis_metrics)
+        mi.write.mode("overwrite").parquet(os.path.join(args.out, "mis"))
+        meta["mis_rounds"] = len(mis_metrics)
+        meta["mis_sec"] = round(time.time() - t0, 3)
+    if "matching" in wanted:
+        from engine.operators.matching import maximal_matching
+
+        t0 = time.time()
+        mm_metrics: list = []
+        mm = maximal_matching(edges, max_rounds=args.max_iter, metrics=mm_metrics)
+        mm.write.mode("overwrite").parquet(os.path.join(args.out, "matching"))
+        meta["matching_rounds"] = len(mm_metrics)
+        meta["matching_sec"] = round(time.time() - t0, 3)
+    if "coloring" in wanted:
+        from engine.operators.coloring import greedy_coloring
+
+        t0 = time.time()
+        col_metrics: list = []
+        col = greedy_coloring(edges, max_rounds=max(args.max_iter, 200), metrics=col_metrics)
+        col.write.mode("overwrite").parquet(os.path.join(args.out, "coloring"))
+        meta["coloring_rounds"] = len(col_metrics)
+        meta["coloring_sec"] = round(time.time() - t0, 3)
+    if "densest" in wanted:
+        from engine.operators.densest import densest_subgraph
+
+        t0 = time.time()
+        dn_metrics: list = []
+        dn = densest_subgraph(edges, max_rounds=max(args.max_iter, 200), metrics=dn_metrics)
+        dn.write.mode("overwrite").parquet(os.path.join(args.out, "densest"))
+        best = max(dn_metrics, key=lambda e: (e["density"], -e["round"]))
+        meta["densest_best_density"] = round(best["density"], 6)
+        meta["densest_best_round"] = best["round"]
+        meta["densest_rounds"] = len(dn_metrics)
+        meta["densest_sec"] = round(time.time() - t0, 3)
+
     with open(os.path.join(args.out, "kernels.json"), "w") as f:
         json.dump(meta, f, indent=1)
     print(json.dumps(meta))

@@ -245,7 +245,7 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
         [
             sys.executable, str(REPO / "jobs" / "kernels_job.py"),
             "--edges-table", "t_e2e_bucketed", "--out", str(out),
-            "--kernels", "kcore,coreness,scc,salsa,bowtie,condense",
+            "--kernels", "kcore,coreness,scc,salsa,bowtie,condense,mis,matching,coloring,densest",
             "--kcore-k", "3",
             "--warehouse", str(wh), "--metastore-dir", str(tmp_path / "ms"),
             "--master", "local[8]", "--partitions", "8",
@@ -285,6 +285,33 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
         assert lv["level"].min() == 0
     else:
         assert len(lv) == 0
+    # end-of-r4 kernels through the same job CLI: symmetry-breaking trio
+    # (independence/validity/properness on the simple undirected graph)
+    # + densest subgraph (non-empty member set)
+    und: dict = {}
+    for u, v in rows:
+        if u != v:
+            und.setdefault(u, set()).add(v)
+            und.setdefault(v, set()).add(u)
+    mi = pq.read_table(out / "mis").to_pandas()
+    in_mis = set(mi[mi["status"] == "mis"]["id"])
+    assert in_mis and all(
+        w not in in_mis for v in in_mis for w in und.get(v, ())
+    )
+    mm = pq.read_table(out / "matching").to_pandas()
+    touched: list = []
+    for a, b in zip(mm["a"], mm["b"]):
+        assert b in und.get(a, set())
+        touched += [a, b]
+    assert len(touched) == len(set(touched))
+    col = pq.read_table(out / "coloring").to_pandas()
+    cmap = dict(zip(col["id"], col["color"]))
+    assert all(
+        cmap[u] != cmap[w] for u in und for w in und[u]
+    )
+    dn = pq.read_table(out / "densest").to_pandas()
+    assert len(dn) > 0
+    assert meta2["densest_best_density"] > 0
 
 
 def test_pagerank_job_warm_start_roundtrip(tmp_path):
