@@ -397,3 +397,22 @@ def test_resolve_redirects_log_round_count(spark):
     assert got[0] == 30 and got[30] == 0
     assert len(m) <= 6  # ceil(log2(64)) — a per-hop loop would need 30
     assert m[-1]["advanced"] is False or len(m) == 6
+
+
+def test_line_dedupe_shuffles_hash_keys_not_text(spark):
+    """The global line-dedup's winner aggregate and join must exchange on
+    the 16-byte md5 key, never on the raw line text — the scale claim in
+    dedupe.line_dedupe's docstring. Also pure Catalyst (no Python)."""
+    from engine.operators import dedupe
+
+    docs = spark.createDataFrame(
+        [(i, "alpha\nbeta\ngamma" + str(i % 3)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = dedupe.line_dedupe(docs)
+    assert not pi.has_python_eval(out)
+    plan = pi.physical_plan(out)
+    import re
+
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "_line" not in args, f"raw line text in a shuffle key: {args}"
