@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True)
     ap.add_argument("--near-dedupe", action="store_true")
+    ap.add_argument("--line-dedupe", action="store_true",
+                    help="C4 global line dedup (one surviving occurrence per "
+                    "repeated line corpus-wide) before doc-level dedupe; "
+                    "docs emptied by it are dropped and counted")
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--min-quality", type=float, default=0.3,
                     help="quality-gate floor (0.75 suits stopword-bearing "
@@ -116,10 +120,35 @@ def main(argv=None):
     }
     docs = scrubbed.drop("n_emails", "n_phones", "n_ips")
 
+    # 2b. optional C4 global line dedup — BEFORE doc-level dedupe (the C4
+    # order); every removed line and every emptied doc is counted
+    ld = None
+    if args.line_dedupe:
+        ld = dedupe.line_dedupe(docs, "doc_id", "text").persist()
+        row = ld.agg(
+            F.sum("n_lines_kept").alias("k"),
+            F.sum("n_lines_dropped").alias("d"),
+            F.sum(F.when(F.col("text_clean") == "", 1).otherwise(0)).alias("z"),
+        ).first()
+        manifest["line_dedupe"] = {
+            "lines_kept": int(row["k"] or 0),
+            "lines_dropped": int(row["d"] or 0),
+            "emptied_docs_dropped": int(row["z"] or 0),
+        }
+        other = [c for c in docs.columns if c not in ("doc_id", "text")]
+        docs = docs.select("doc_id", *other).join(
+            ld.filter(F.col("text_clean") != "").select(
+                "doc_id", F.col("text_clean").alias("text")
+            ),
+            "doc_id",
+        )
+
     # 3. exact dedupe on scrubbed text (md5 keys, keep min id)
     docs = dedupe.dedupe_exact_text(docs)
     manifest["exact_dedup_survivors"] = docs.count()
     scrubbed.unpersist()
+    if ld is not None:
+        ld.unpersist()
 
     # 4. optional MinHash-LSH near-dedupe (capped; drop counts surfaced)
     if args.near_dedupe:

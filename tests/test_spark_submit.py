@@ -411,3 +411,61 @@ def test_corpus_hygiene_job_end_to_end(tmp_path):
     ).fetchone()
     assert n == m["final_docs"] and toks == m["total_tokens"]
     assert chunks == m["packed_chunks"]
+
+
+def test_corpus_job_line_dedupe_stage(tmp_path):
+    """--line-dedupe drops every repeated line corpus-wide (keep the min
+    (doc,pos) occurrence), counts lines and emptied docs in the manifest,
+    and feeds the cleaned text into the doc-level stages."""
+    docs_dir = tmp_path / "docs"
+    out = tmp_path / "corpus"
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    rows = [
+        (1, "unique alpha line one\nshared boiler line\nunique alpha line two"),
+        (2, "unique beta line\nshared boiler line"),
+        (3, "shared boiler line"),  # emptied -> dropped, counted
+        (4, "unique gamma line"),
+        (5, "unique delta line\nunique delta line"),  # within-doc dup
+    ]
+    gen = subprocess.run(
+        [
+            sys.executable, "-c",
+            "from engine.session import build_session; "
+            "s = build_session(master='local[4]', shuffle_partitions=4); "
+            f"s.createDataFrame({rows!r}, 'doc_id long, text string')"
+            f".write.mode('overwrite').parquet(r'{docs_dir}')",
+        ],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(REPO),
+    )
+    assert gen.returncode == 0, gen.stderr[-4000:]
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "jobs" / "corpus_job.py"),
+            "--docs", str(docs_dir), "--line-dedupe",
+            "--min-tokens", "1", "--min-quality", "0",
+            "--max-dup-ngram-frac", "1.0",
+            "--out", str(out), "--master", "local[4]", "--partitions", "4",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    m = json.loads((out / "manifest.json").read_text())
+    assert m["quality"]["kept"] == 5
+    # 9 lines total: doc3's only line and doc2's boiler line lose to doc1,
+    # doc5's second copy loses to its first -> 6 kept / 3 dropped / 1 empty
+    assert m["line_dedupe"] == {
+        "lines_kept": 6, "lines_dropped": 3, "emptied_docs_dropped": 1
+    }
+    assert m["exact_dedup_survivors"] == 4
+    assert m["final_docs"] == 4
+
+    import duckdb
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM parquet_scan('{out}/corpus/*.parquet')"
+        ).fetchall()
+    )
+    assert texts[2] == "unique beta line"
+    assert texts[5] == "unique delta line"
+    assert "shared boiler line" in texts[1]
