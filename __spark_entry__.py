@@ -1336,6 +1336,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("gap_us"),
         )
 
+    def sim5_embedding_moments(spark, sf):
+        # oracle-gated exact moments for embedding whitening/PCA: mean
+        # numerators (j = -1) + Gram upper triangle, both decimal(18,6)-
+        # summed (the repo float policy) — the auditable twin of the
+        # mapInPandas scale path (pytest-gated against each other); the
+        # eigh/projection halves are NumPy-property-gated (cov == I)
+        from engine.operators.whitening import embedding_moments
+
+        return embedding_moments(_t(spark, sf, "embeddings"), "embedding", 64)
+
     def sim4b_ivf_probeall(spark, sf):
         # driver-gradable IVF end-to-end: with nprobe = k_centroids every
         # cell is probed, so the result is EXACTLY the cosine top-k (the
@@ -1611,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_politeness": p9_politeness,
         "p10_url_features": p10_url_features,
         "sim4b_ivf_probeall": sim4b_ivf_probeall,
+        "sim5_embedding_moments": sim5_embedding_moments,
         "x11_pii_scrub": x11_pii_scrub,
         "x12_pack_sequences": x12_pack_sequences,
         "x13_corpus_stats": x13_corpus_stats,
@@ -4017,6 +4028,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, host, n_links, mass, host_rank,
                    CAST(floor(host_rank / 3.0) AS BIGINT) AS fetch_round
             FROM ranked
+        """,
+        # exact whitening moments: same decimal-sum over the same index
+        # pairs, DuckDB array indexing is 1-based like element_at
+        "sim5_embedding_moments": """
+            WITH idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS i),
+            pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+            g AS (
+                SELECT p.i, p.j,
+                       CAST(sum(CAST(
+                           CAST(e.embedding[p.i + 1] AS DOUBLE)
+                           * CAST(e.embedding[p.j + 1] AS DOUBLE)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS s
+                FROM embeddings e, pairs p GROUP BY p.i, p.j
+            ),
+            m AS (
+                SELECT i.i, CAST(-1 AS INT) AS j,
+                       CAST(sum(CAST(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS s
+                FROM embeddings e, idx i GROUP BY i.i
+            )
+            SELECT i, j, s FROM g
+            UNION ALL SELECT i, j, s FROM m
         """,
         "sim4b_ivf_probeall": """
             WITH pairs AS (

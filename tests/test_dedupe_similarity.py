@@ -690,3 +690,92 @@ def test_decontaminate_bloom_prefilter_is_row_identical(spark):
         }
     assert pre == exact
     assert any(c for _, _, c in exact)  # the fixture genuinely overlaps
+
+
+# ---------------------------------------------------------------------------
+# embedding whitening / PCA (pre-ANN transform)
+# ---------------------------------------------------------------------------
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_embedding_moments_exact_vs_numpy(spark):
+    import numpy as np
+
+    from engine.operators import whitening
+
+    df = _emb(spark)
+    X = np.asarray([r.embedding for r in df.collect()], dtype=np.float64)
+    got = {(r.i, r.j): r.s for r in whitening.embedding_moments(df).collect()}
+    d = X.shape[1]
+    assert len(got) == d * (d + 1) // 2 + d
+    for i in range(d):
+        assert got[(i, -1)] == pytest.approx(X[:, i].sum(), abs=1e-3)
+        for j in range(i, d):
+            assert got[(i, j)] == pytest.approx((X[:, i] * X[:, j]).sum(), abs=1e-3)
+
+
+def test_embedding_moments_scale_path_matches_exact(spark):
+    import numpy as np
+
+    from engine.operators import whitening
+
+    df = _emb(spark)
+    parts = whitening.embedding_moments_scale(df).collect()
+    n = sum(p.n for p in parts)
+    sums = np.sum([p.sums for p in parts], axis=0)
+    gram = np.sum([np.asarray(p.gram).reshape(64, 64) for p in parts], axis=0)
+    assert n == df.count()
+    exact = {(r.i, r.j): r.s for r in whitening.embedding_moments(df).collect()}
+    for i in range(64):
+        assert sums[i] == pytest.approx(exact[(i, -1)], abs=1e-3)
+        for j in range(i, 64):
+            assert gram[i, j] == pytest.approx(exact[(i, j)], abs=1e-3)
+
+
+def test_zca_whitening_gives_identity_covariance(spark):
+    import numpy as np
+
+    from engine.operators import whitening
+
+    df = _emb(spark)
+    out = whitening.whiten_embeddings(df, mode="zca", eps=1e-9)
+    Y = np.asarray([r.whitened for r in out.collect()], dtype=np.float64)
+    assert Y.shape[1] == 64
+    assert np.allclose(Y.mean(axis=0), 0.0, atol=1e-9)
+    cov = np.cov(Y, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(64), atol=1e-5)
+
+
+def test_pca_topk_decorrelates_and_orders_variance(spark):
+    import numpy as np
+
+    from engine.operators import whitening
+
+    df = _emb(spark)
+    mean, W = whitening.fit_whitening(df, k=8, eps=1e-9)
+    assert W.shape == (8, 64)
+    out = whitening.transform_embeddings(df, mean, W)
+    Y = np.asarray([r.whitened for r in out.collect()], dtype=np.float64)
+    assert Y.shape[1] == 8
+    cov = np.cov(Y, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(8), atol=1e-5)  # whitened: unit variance
+    # the SAME projection without the 1/sqrt(lambda) scaling must order
+    # variance descending — verify against a NumPy-only PCA
+    X = np.asarray([r.embedding for r in df.collect()], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    vals = np.linalg.eigvalsh(C)[::-1]
+    proj_var = np.var((X - mean) @ W.T, axis=0) * (vals[:8] + 1e-9)
+    assert np.allclose(sorted(proj_var, reverse=True), proj_var, atol=1e-9)
+
+
+def test_transform_is_arrow_batched(spark):
+    from engine.operators import whitening
+    from engine.plans import inspect as pi
+    import numpy as np
+
+    df = _emb(spark)
+    out = whitening.transform_embeddings(df, np.zeros(64), np.eye(64))
+    plan = pi.physical_plan(out)
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
