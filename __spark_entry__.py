@@ -1303,6 +1303,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = textstats.unigram_lm_scores(d, "doc_id", "text")
         return s.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
+    def w5_click_attribution(spark, sf):
+        # Stream-stream interval join (batch form, oracle-gated): every
+        # (view, click) pair of the same user with the click inside
+        # [view_ts, view_ts + 1h]. The SAME engine function runs on
+        # streaming inputs with watermark-bounded join state (parity test:
+        # tests/test_textstats_multimodal_streaming.py).
+        from engine.streaming.events import attribute_clicks
+
+        ev = _t(spark, sf, "events")
+        j = attribute_clicks(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "click"),
+            horizon="1 hour",
+        )
+        return j.select(
+            "user_id", "imp_id", "click_id", "gap_us",
+            F.round("click_value", 6).alias("click_value"),
+        )
+
     def w4_asof_attribution(spark, sf):
         # as-of join (pandas merge_asof / DuckDB ASOF semantics as a
         # union+window composition — ONE shuffle, no range-join blowup):
@@ -1627,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_corpus_stats": x13_corpus_stats,
         "x14_unigram_logprob": x14_unigram_logprob,
         "w4_asof_attribution": w4_asof_attribution,
+        "w5_click_attribution": w5_click_attribution,
         "d8_decontaminate_bloom": d8_decontaminate_bloom,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
@@ -3968,6 +3988,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
                    round(s.alp, 6) AS avg_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "w5_click_attribution": """
+            SELECT i.user_id,
+                   i.event_id AS imp_id,
+                   c.event_id AS click_id,
+                   CAST(epoch_us(c.ts) - epoch_us(i.ts) AS BIGINT) AS gap_us,
+                   round(c.value, 6) AS click_value
+            FROM events i JOIN events c
+              ON i.user_id = c.user_id
+             AND c.ts >= i.ts
+             AND c.ts <= i.ts + INTERVAL 1 HOUR
+            WHERE i.event_type = 'view' AND c.event_type = 'click'
         """,
         "w4_asof_attribution": """
             WITH p AS (

@@ -47,6 +47,56 @@ def windowed_event_counts(
     )
 
 
+def attribute_clicks(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (impression, click) pair of the
+    same user with the click inside [imp_ts, imp_ts + horizon] — the
+    classic windowed click-attribution join. On streaming inputs both
+    sides carry watermarks, so Spark bounds the join state to the horizon
+    + watermark slack (the documented stream-stream inner-join contract);
+    on batch inputs the SAME expression is the oracle (parity-gated).
+    Returns (user_id, imp_id, click_id, imp_ts, click_ts, gap_us,
+    click_value). For latest-impression-only semantics use the batch
+    as-of composition (engine/operators/asof.py — w4)."""
+    i = impressions.select(
+        F.col("user_id"),
+        F.col("event_id").alias("imp_id"),
+        F.col("ts").alias("imp_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    if i.isStreaming:
+        i = i.withWatermark("imp_ts", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    joined = i.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts") <= F.col("imp_ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    return joined.select(
+        "user_id",
+        "imp_id",
+        "click_id",
+        "imp_ts",
+        "click_ts",
+        (
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("imp_ts").cast("timestamp"))
+        ).alias("gap_us"),
+        "click_value",
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table (tests)."""
     q = (

@@ -578,3 +578,50 @@ def test_unigram_lm_scores_external_reference(spark):
     want = (math.log((2 + 1) / (total + vocab)) + math.log(1 / (total + vocab))) / 2
     assert got.n_tokens == 2
     assert abs(got.avg_logprob - want) < 1e-12
+
+
+def test_attribute_clicks_stream_matches_batch(spark, tmp_path):
+    from engine.streaming import events as sev
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "events_in")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    batch_in = spark.read.parquet(src)
+    imp_b = batch_in.where("event_type = 'view'")
+    clk_b = batch_in.where("event_type = 'click'")
+    batch = sev.attribute_clicks(imp_b, clk_b, horizon="1 hour")
+    want = {
+        (r.user_id, r.imp_id, r.click_id, r.gap_us, r.click_value)
+        for r in batch.collect()
+    }
+    assert want  # the events table must actually produce attributions
+    assert all(0 <= g <= 3_600_000_000 for _, _, _, g, _ in want)
+
+    stream_in = sev.read_event_stream(spark, src)
+    # files arrive in arbitrary time order, so give the stream a watermark
+    # wider than the table's whole time span: every micro-batch joins, none
+    # of the out-of-order arrivals is "late" — exact batch parity. (With a
+    # tight watermark the stream CORRECTLY drops stragglers; that behavior
+    # is Spark's late-data contract, not this operator's.)
+    out = sev.attribute_clicks(
+        stream_in.where("event_type = 'view'"),
+        stream_in.where("event_type = 'click'"),
+        horizon="1 hour",
+        watermark="365 days",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("click_attr")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.imp_id, r.click_id, r.gap_us, r.click_value)
+        for r in spark.table("click_attr").collect()
+    }
+    assert got == want
