@@ -450,6 +450,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return betweenness_bounded(e, 3)
 
+    def g39_simrank_2iter(spark, sf):
+        # oracle-gated SimRank (Jeh & Widom 2002) pinned to 2 truncated
+        # fixed-point rounds on the sparse bowtie subgraph (the g9/g20
+        # family — pair-quadratic ops run on the l_quantity<=1 slice).
+        # Round 1 is the co-citation wedge; round 2 adds the two-hop join
+        # through round-1's off-diagonal entries, summed as exact
+        # DECIMAL(28,9) (the linkpred float policy). Post-window:
+        # validated by check_contract.
+        from engine.operators.simrank import simrank
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        out = simrank(e, c=0.8, iterations=2)
+        return out.select("a", "b", F.round("s", 6).alias("simrank"))
+
     def g19_ktruss_3round(spark, sf):
         # k-truss peeling (k=12: every edge needs >= 10 supporting
         # triangles) pinned to exactly 3 rounds — at sf0.01 each round
@@ -1613,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g36_acl_cluster": g36_acl_cluster,
         "g37_node2vec_3step": g37_node2vec_3step,
         "g38_coloring_3round": g38_coloring_3round,
+        "g39_simrank_2iter": g39_simrank_2iter,
         "d9_line_dedupe": d9_line_dedupe,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
@@ -2981,6 +3000,51 @@ def oracle_sql() -> dict[str, str]:
         "g2_label_propagation": lp_sql,
         "g18_lp_modularity": mod_sql,
         "g19_ktruss_3round": ktruss_sql,
+        # SimRank, 2 truncated rounds on the sparse bowtie subgraph.
+        # Float policy mirrors engine/operators/simrank.py exactly:
+        # round-1 scores rounded to 9 dp after one double division,
+        # round-2 sums them as exact DECIMAL(28,9), final round 6.
+        "g39_simrank_2iter": """
+            WITH e AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ), ie AS MATERIALIZED (
+                SELECT DISTINCT dst AS x, src AS i FROM e WHERE src <> dst
+            ), ind AS MATERIALIZED (
+                SELECT x, CAST(count(*) AS DOUBLE) AS d FROM ie GROUP BY x
+            ), diag AS MATERIALIZED (
+                SELECT a.x AS a, b.x AS b,
+                       CAST(count(*) AS DECIMAL(28,9)) AS m
+                FROM ie a JOIN ie b ON a.i = b.i AND a.x < b.x
+                GROUP BY a.x, b.x
+            ), s1 AS MATERIALIZED (
+                SELECT diag.a, diag.b,
+                       round(0.8 * CAST(diag.m AS DOUBLE) / (da.d * db.d), 9) AS s
+                FROM diag
+                JOIN ind da ON da.x = diag.a
+                JOIN ind db ON db.x = diag.b
+            ), s1sym AS MATERIALIZED (
+                SELECT a AS p, b AS q, s FROM s1
+                UNION ALL SELECT b AS p, a AS q, s FROM s1
+            ), off2 AS MATERIALIZED (
+                SELECT ia.x AS a, jb.x AS b,
+                       sum(CAST(s.s AS DECIMAL(28,9))) AS m
+                FROM ie ia
+                JOIN s1sym s ON s.p = ia.i
+                JOIN ie jb ON jb.i = s.q
+                WHERE ia.x < jb.x
+                GROUP BY ia.x, jb.x
+            ), tot AS (
+                SELECT a, b, sum(m) AS m
+                FROM (SELECT * FROM off2 UNION ALL SELECT * FROM diag)
+                GROUP BY a, b
+            )
+            SELECT t.a, t.b,
+                   round(0.8 * CAST(t.m AS DOUBLE) / (da.d * db.d), 6) AS simrank
+            FROM tot t
+            JOIN ind da ON da.x = t.a
+            JOIN ind db ON db.x = t.b
+        """,
         # SCC exact-label oracle: directed transitive closure + mutual
         # reachability; label = min id of {{v : u↔v}} ∪ {{u}} — grades the
         # trim/coloring/backward-sweep kernel's exact-match contract on the

@@ -2428,3 +2428,87 @@ def test_url_features_vs_python_oracle(spark):
     # map-only
     plan = url_features(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SimRank (Jeh & Widom 2002), truncated fixed-point
+# ---------------------------------------------------------------------------
+
+
+def _simrank_py(edges, c=0.8, iters=2):
+    """Pure-Python twin of engine.operators.simrank (same float policy:
+    9 dp per round, exact decimal sums in later rounds). Rounding mirrors
+    Spark's F.round for doubles — HALF_UP over the shortest round-trip
+    decimal repr (java BigDecimal.valueOf) — NOT Python round()'s
+    half-even over the exact binary expansion (1-ulp divergence at 9 dp
+    boundaries otherwise)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    ie = {}
+    for u, v in edges:
+        if u != v:
+            ie.setdefault(v, set()).add(u)
+    xs = sorted(ie)
+    diag = {}
+    for ai in range(len(xs)):
+        for bi in range(ai + 1, len(xs)):
+            a, b = xs[ai], xs[bi]
+            n = len(ie[a] & ie[b])
+            if n:
+                diag[(a, b)] = n
+    s = {p: rnd9(c * n / (len(ie[p[0]]) * len(ie[p[1]]))) for p, n in diag.items()}
+    for _ in range(iters - 1):
+        m = {p: Decimal(n) for p, n in diag.items()}
+        for (p, q), sv in s.items():
+            d = Decimal(f"{sv:.9f}")
+            for pq in ((p, q), (q, p)):
+                for a in (x for x in ie if pq[0] in ie[x]):
+                    for b in (x for x in ie if pq[1] in ie[x]):
+                        if a < b:
+                            m[(a, b)] = m.get((a, b), Decimal(0)) + d
+        s = {
+            (a, b): rnd9(c * float(v) / (len(ie[a]) * len(ie[b])))
+            for (a, b), v in m.items()
+        }
+    return s
+
+
+def test_simrank_hand_example(spark):
+    from engine.operators.simrank import simrank
+
+    # 1,2 -> {3,4}; 3 -> 5; 4 -> 6. Round 1: only (3,4) = 0.8*2/4 = 0.4.
+    # Round 2: (3,4) again 0.4 (out(3), out(4) never feed back into 3/4);
+    # (5,6) appears ONLY via the off-diagonal path i=3, j=4:
+    # 0.8*0.4/(1*1) = 0.32 — covers pairs with no diagonal support.
+    e = _edges_df(spark, [(1, 3), (2, 3), (1, 4), (2, 4), (3, 5), (4, 6)])
+    got = {(r.a, r.b): r.s for r in simrank(e, c=0.8, iterations=2).collect()}
+    assert got == {(3, 4): 0.4, (5, 6): 0.32}
+
+
+def test_simrank_random_vs_python_oracle(spark):
+    from engine.operators.simrank import simrank
+
+    edges = _sparse_graph(n=120, m=200, seed=11)
+    got = {(r.a, r.b): r.s for r in simrank(_edges_df(spark, edges), iterations=3).collect()}
+    want = _simrank_py(edges, iters=3)
+    assert set(got) == set(want)
+    assert all(abs(got[p] - want[p]) < 1e-9 for p in want)
+    # SimRank scores live in (0, c]
+    assert all(0.0 < v <= 0.8 + 1e-12 for v in got.values())
+
+
+def test_simrank_fanout_cap_disclosed(spark):
+    from engine.operators.simrank import simrank
+
+    # one deg-20 hub: uncapped round 1 has C(20,2)=190 pairs at s=0.8
+    e = _edges_df(spark, [(0, i) for i in range(1, 21)])
+    full = simrank(e, iterations=1).collect()
+    assert len(full) == 190 and all(abs(r.s - 0.8) < 1e-12 for r in full)
+    metrics = {}
+    capped = simrank(e, iterations=2, max_fanout=10, metrics=metrics).collect()
+    assert capped == []
+    assert metrics["simrank_pivots_capped"] == 1
+    assert metrics["simrank_diag_wedges_dropped"] == 190
