@@ -16,6 +16,9 @@ metadata:
   bowtie/ (id, region)    Broder CORE/IN/OUT/TENDRIL/DISCONNECTED regions
   condense/ (src_comp, dst_comp, weight) + dag_levels/ (id, level)
                           SCC condensation DAG and its scheduling levels
+  simrank/ (a, b, s)      truncated SimRank pairs (--simrank-iters, with a
+                          disclosed --simrank-max-fanout pivot cap and
+                          --simrank-min-sim state pruning)
 
 --edges-table reads a bucketed catalog table (engine/sources/bucketed.py,
 written by jobs/bucketize_job.py) instead of --edges: the src-clustering
@@ -43,6 +46,11 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--kernels", default="cc,lp,tri")
     ap.add_argument("--kcore-k", type=int, default=3)
+    ap.add_argument("--simrank-iters", type=int, default=2)
+    ap.add_argument("--simrank-max-fanout", type=int, default=1000,
+                    help="simrank: exclude pivots with out-fan above this (disclosed in kernels.json)")
+    ap.add_argument("--simrank-min-sim", type=float, default=0.0,
+                    help="simrank: prune carried pairs below this between rounds")
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--checkpoint-dir", default=None, help="resume CC/LP from snapshots under DIR/cc, DIR/lp")
     ap.add_argument("--warehouse", default=None, help="with --edges-table: spark.sql.warehouse.dir")
@@ -199,6 +207,22 @@ def main(argv=None):
         col.write.mode("overwrite").parquet(os.path.join(args.out, "coloring"))
         meta["coloring_rounds"] = len(col_metrics)
         meta["coloring_sec"] = round(time.time() - t0, 3)
+    if "simrank" in wanted:
+        from engine.operators.simrank import simrank
+
+        t0 = time.time()
+        sr_metrics: dict = {}
+        sr = simrank(
+            edges,
+            iterations=args.simrank_iters,
+            max_fanout=args.simrank_max_fanout,
+            min_sim=args.simrank_min_sim,
+            metrics=sr_metrics,
+        )
+        sr.write.mode("overwrite").parquet(os.path.join(args.out, "simrank"))
+        meta.update({f"sr_{k}": v for k, v in sr_metrics.items()})
+        meta["simrank_iterations"] = args.simrank_iters
+        meta["simrank_sec"] = round(time.time() - t0, 3)
     if "densest" in wanted:
         from engine.operators.densest import densest_subgraph
 

@@ -245,7 +245,7 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
         [
             sys.executable, str(REPO / "jobs" / "kernels_job.py"),
             "--edges-table", "t_e2e_bucketed", "--out", str(out),
-            "--kernels", "kcore,coreness,scc,salsa,bowtie,condense,mis,matching,coloring,densest",
+            "--kernels", "kcore,coreness,scc,salsa,bowtie,condense,mis,matching,coloring,densest,simrank",
             "--kcore-k", "3",
             "--warehouse", str(wh), "--metastore-dir", str(tmp_path / "ms"),
             "--master", "local[8]", "--partitions", "8",
@@ -312,6 +312,15 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
     dn = pq.read_table(out / "densest").to_pandas()
     assert len(dn) > 0
     assert meta2["densest_best_density"] > 0
+    # simrank through the same job CLI: exact match vs the Python twin
+    from test_kernels import _simrank_py
+
+    sr = pq.read_table(out / "simrank").to_pandas()
+    got_sr = {(a, b): s for a, b, s in zip(sr["a"], sr["b"], sr["s"])}
+    want_sr = _simrank_py(rows, iters=2)
+    assert set(got_sr) == set(want_sr)
+    assert all(abs(got_sr[p] - want_sr[p]) < 1e-9 for p in want_sr)
+    assert meta2["simrank_iterations"] == 2
 
 
 def test_pagerank_job_warm_start_roundtrip(tmp_path):
