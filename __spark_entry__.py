@@ -777,6 +777,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 6 dp identically across engines on this input.
         return graph.graph_mixing(_edges(spark, sf))
 
+    def g40_rich_club(spark, sf):
+        # rich-club coefficient φ(k) at every realized degree level
+        # (Zhou & Mondragón 2004) — do hubs preferentially interlink.
+        # Histograms bound the cumulative window to ≤ 2√m rows by
+        # construction (see graph.rich_club). Post-window:
+        # validated by check_contract.
+        return graph.rich_club(_edges(spark, sf))
+
     def x6_hash_split(spark, sf):
         # deterministic leak-proof train/val/test assignment by hashed key —
         # map-only (no Exchange), stable under repartitioning/cluster size,
@@ -1632,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g37_node2vec_3step": g37_node2vec_3step,
         "g38_coloring_3round": g38_coloring_3round,
         "g39_simrank_2iter": g39_simrank_2iter,
+        "g40_rich_club": g40_rich_club,
         "d9_line_dedupe": d9_line_dedupe,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
@@ -3000,6 +3009,42 @@ def oracle_sql() -> dict[str, str]:
         "g2_label_propagation": lp_sql,
         "g18_lp_modularity": mod_sql,
         "g19_ktruss_3round": ktruss_sql,
+        # rich-club coefficient: suffix sums over the degree-value and
+        # min-endpoint-degree histograms (mirrors graph.rich_club)
+        "g40_rich_club": f"""
+            WITH e0 AS MATERIALIZED ({_EDGES_SQL}),
+            e AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e0 WHERE src <> dst
+            ), deg AS MATERIALIZED (
+                SELECT id, count(*) AS d FROM (
+                    SELECT a AS id FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY id
+            ), hist_n AS (
+                SELECT d AS v, count(*) AS cn FROM deg GROUP BY d
+            ), hist_e AS (
+                SELECT least(da.d, db.d) AS v, count(*) AS ce
+                FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+                GROUP BY 1
+            ), hist AS (
+                SELECT coalesce(hist_n.v, hist_e.v) AS v,
+                       coalesce(cn, 0) AS cn, coalesce(ce, 0) AS ce
+                FROM hist_n FULL OUTER JOIN hist_e ON hist_n.v = hist_e.v
+                UNION ALL SELECT 0, 0, 0
+            ), suf AS (
+                SELECT v AS k,
+                       sum(cn) OVER () - sum(cn) OVER (
+                           ORDER BY v ROWS UNBOUNDED PRECEDING) AS n_k,
+                       sum(ce) OVER () - sum(ce) OVER (
+                           ORDER BY v ROWS UNBOUNDED PRECEDING) AS e_k
+                FROM hist
+            )
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(n_k AS BIGINT) AS n_k,
+                   CAST(e_k AS BIGINT) AS e_k,
+                   round(2.0 * e_k / (n_k * (n_k - 1)), 6) AS rich_club
+            FROM suf WHERE n_k >= 2
+        """,
         # SimRank, 2 truncated rounds on the sparse bowtie subgraph.
         # Float policy mirrors engine/operators/simrank.py exactly:
         # round-1 scores rounded to 9 dp after one double division,

@@ -273,6 +273,86 @@ def graph_mixing(edges: DataFrame) -> DataFrame:
     return recip.crossJoin(assort)
 
 
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient φ(k) over the undirected simple graph
+    (Zhou & Mondragón 2004; normalization discussion in Colizza et al.
+    2006 — this is the raw φ(k), the quantity both papers start from):
+    among the N_k vertices of degree > k,
+
+        φ(k) = 2·E_k / (N_k·(N_k − 1))
+
+    with E_k the number of edges whose BOTH endpoints have degree > k —
+    the standard measurement of whether web hubs preferentially
+    interlink. Evaluated at k = 0 and every realized degree value (φ is
+    a right-continuous step function constant between realized degrees,
+    so this grid is lossless).
+
+    Spark shape: degrees (one shuffle), per-edge min-endpoint degree
+    (two degree joins — the PageRank gather shape), then both tallies
+    collapse to degree-value histograms and every N_k / E_k falls out of
+    ONE pass of suffix sums. The histograms have at most 2·√m rows (the
+    distinct degree values D satisfy D²/2 ≤ Σ distinct d ≤ Σ_v deg(v) =
+    2m), so even a 10^12-edge crawl yields ≤ ~2·10^6 tiny rows and the
+    unpartitioned cumulative window is bounded by construction — never
+    data-scale.
+
+    Returns (k BIGINT, n_k BIGINT, e_k BIGINT, rich_club DOUBLE) for
+    rows with N_k ≥ 2, rich_club rounded to 6 dp (one IEEE division of
+    exact longs — engine-portable)."""
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    hist_e = (
+        e.join(da, "a")
+        .join(db, "b")
+        .groupBy(F.least("da", "db").alias("v"))
+        .agg(F.count(F.lit(1)).alias("ce"))
+    )
+    hist_n = deg.groupBy(F.col("d").alias("v")).agg(F.count(F.lit(1)).alias("cn"))
+    hist = (
+        hist_n.join(hist_e, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+            F.coalesce("ce", F.lit(0)).alias("ce"),
+        )
+        # the k=0 anchor: degrees are ≥ 1, so the suffix sums at v=0 are
+        # the full totals (all nodes, all edges)
+        .unionAll(e.sparkSession.createDataFrame([(0, 0, 0)], "v long, cn long, ce long"))
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = hist.select(
+        F.col("v").alias("k"),
+        (F.sum("cn").over(w_all) - F.sum("cn").over(w_cum)).alias("n_k"),
+        (F.sum("ce").over(w_all) - F.sum("ce").over(w_cum)).alias("e_k"),
+    )
+    return out.filter(F.col("n_k") >= 2).select(
+        "k",
+        "n_k",
+        "e_k",
+        F.round(
+            F.lit(2.0) * F.col("e_k") / (F.col("n_k") * (F.col("n_k") - F.lit(1))), 6
+        ).alias("rich_club"),
+    )
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
     """outdeg per source, duplicate edges counted (pagerank_gpu.cu:66-75
     counts every edge occurrence). Map-side partial agg is automatic."""

@@ -2512,3 +2512,49 @@ def test_simrank_fanout_cap_disclosed(spark):
     assert capped == []
     assert metrics["simrank_pivots_capped"] == 1
     assert metrics["simrank_diag_wedges_dropped"] == 190
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient
+# ---------------------------------------------------------------------------
+
+
+def _rich_club_py(edges):
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for k in {0} | set(deg.values()):
+        rich = {v for v, d in deg.items() if d > k}
+        if len(rich) < 2:
+            continue
+        ek = sum(1 for a, b in und if a in rich and b in rich)
+        out[k] = (len(rich), ek, round(2.0 * ek / (len(rich) * (len(rich) - 1)), 6))
+    return out
+
+
+def test_rich_club_hand_example(spark):
+    from engine.operators.graph import rich_club
+
+    # triangle {1,2,3} + pendant 4—1: φ(0) = 2·4/(4·3), φ(1) = 1 (the
+    # deg>1 core IS the triangle); k=2,3 have n_k < 2 and are excluded
+    e = _edges_df(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 1)])  # dup/reverse collapse
+    got = {r.k: (r.n_k, r.e_k, r.rich_club) for r in rich_club(e).collect()}
+    assert got == {0: (4, 4, 0.666667), 1: (3, 3, 1.0)}
+
+
+def test_rich_club_random_vs_python_oracle(spark):
+    from engine.operators.graph import rich_club
+
+    edges = _sparse_graph(n=150, m=400, seed=23)
+    got = {r.k: (r.n_k, r.e_k, r.rich_club) for r in rich_club(_edges_df(spark, edges)).collect()}
+    want = _rich_club_py(edges)
+    assert got == want
+    # the k=0 row covers the whole simple graph
+    nodes = {x for u, v in edges if u != v for x in (u, v)}
+    assert 0 in got and got[0][0] == len(nodes)
