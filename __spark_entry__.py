@@ -963,6 +963,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return link_prediction_scores(e)
 
+    def g41_linkpred_auc(spark, sf):
+        # oracle-gated link-prediction EVALUATION (Liben-Nowell &
+        # Kleinberg protocol): md5 hash-held-out 20% of the undirected
+        # pairs, score the train graph's candidates with Adamic-Adar,
+        # tie-aware Mann-Whitney AUC at retrieving the held-out pairs via
+        # the two-phase distributed rank. One row with the disclosed
+        # candidate-coverage gap. Post-window: check_contract-validated.
+        from engine.operators.linkpred import link_prediction_auc
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return link_prediction_auc(e, by="adamic_adar", test_frac=0.2)
+
     def g15_sssp_4round(spark, sf):
         # oracle-gated weighted SSSP (frontier Bellman-Ford) pinned to 4
         # relaxation rounds — by the Bellman-Ford invariant the result is
@@ -1641,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g38_coloring_3round": g38_coloring_3round,
         "g39_simrank_2iter": g39_simrank_2iter,
         "g40_rich_club": g40_rich_club,
+        "g41_linkpred_auc": g41_linkpred_auc,
         "d9_line_dedupe": d9_line_dedupe,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
@@ -3009,6 +3026,79 @@ def oracle_sql() -> dict[str, str]:
         "g2_label_propagation": lp_sql,
         "g18_lp_modularity": mod_sql,
         "g19_ktruss_3round": ktruss_sql,
+        # link-prediction AUC: the g14 Adamic-Adar scoring over the md5
+        # hash-held-out TRAIN split, then tie-aware Mann-Whitney AUC from
+        # average descending ranks (all-dyadic arithmetic, one division)
+        "g41_linkpred_auc": """
+            WITH e AS MATERIALIZED (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            und0 AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst
+            ),
+            su AS MATERIALIZED (
+                SELECT u, v,
+                       ('0x' || substring(
+                            md5(u::VARCHAR || ':' || v::VARCHAR || 'lp-eval'),
+                            1, 8))::BIGINT / 4294967296.0 AS h
+                FROM und0
+            ),
+            test AS MATERIALIZED (SELECT u, v FROM su WHERE h < 0.2),
+            und AS MATERIALIZED (SELECT u, v FROM su WHERE h >= 0.2),
+            sym AS MATERIALIZED (
+                SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und
+            ),
+            deg AS MATERIALIZED (SELECT x, count(*) AS deg FROM sym GROUP BY x),
+            adj AS MATERIALIZED (
+                SELECT s.x AS w, s.y AS nbr, d.deg AS deg_w
+                FROM sym s JOIN deg d ON d.x = s.x
+            ),
+            wedges AS MATERIALIZED (
+                SELECT a1.nbr AS u, a2.nbr AS v,
+                       CASE WHEN a1.deg_w > 1
+                            THEN CAST(round(1.0 / ln(a1.deg_w), 9) AS DECIMAL(28,9))
+                            ELSE CAST(0 AS DECIMAL(28,9)) END AS aa_term
+                FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.nbr < a2.nbr
+            ),
+            pairs AS MATERIALIZED (
+                SELECT u, v, round(CAST(sum(aa_term) AS DOUBLE), 6) AS s
+                FROM wedges GROUP BY u, v
+            ),
+            labeled AS MATERIALIZED (
+                SELECT p.u::VARCHAR || ':' || p.v::VARCHAR AS k, p.s,
+                       CASE WHEN t.u IS NULL THEN 0 ELSE 1 END AS l
+                FROM pairs p
+                LEFT JOIN test t ON t.u = p.u AND t.v = p.v
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM und WHERE und.u = p.u AND und.v = p.v
+                )
+            ),
+            ranked AS (
+                SELECT s, l,
+                       row_number() OVER (ORDER BY s DESC, k ASC) AS r
+                FROM labeled
+            ),
+            per AS (
+                SELECT s, avg(r) AS ar, sum(l) AS np, count(*) AS cnt
+                FROM ranked GROUP BY s
+            ),
+            tot AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS n_candidates,
+                       CAST(sum(np) AS BIGINT) AS n_pos,
+                       sum(np * ar) AS sd
+                FROM per
+            ),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_test FROM test)
+            SELECT n_candidates, n_test, n_pos,
+                   round(
+                       (n_pos * (n_candidates + 1.0) - sd
+                        - n_pos * (n_pos + 1.0) / 2)
+                       / (n_pos * 1.0 * (n_candidates - n_pos)),
+                   6) AS auc
+            FROM tot, nt
+        """,
         # rich-club coefficient: suffix sums over the degree-value and
         # min-endpoint-degree histograms (mirrors graph.rich_club)
         "g40_rich_club": f"""

@@ -171,3 +171,85 @@ def link_prediction_topk(
     sort materialization."""
     scores = link_prediction_scores(edges, **kwargs)
     return scores.orderBy(F.col(by).desc(), "u", "v").limit(k)
+
+
+def link_prediction_auc(
+    edges: DataFrame,
+    *,
+    by: str = "adamic_adar",
+    test_frac: float = 0.2,
+    salt: str = "lp-eval",
+    max_wedge_degree: int | None = None,
+    min_common: int = 1,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Hash-held-out evaluation of one overlap measure: split the
+    undirected simple edge set by portable md5 (the sampling.hash_u
+    family — assignment depends only on the pair, never on partitioning
+    or cluster size), score the TRAIN graph's non-adjacent candidate
+    pairs, and report the tie-aware Mann-Whitney AUC of `by` at
+    retrieving the held-out TEST pairs — the standard link-prediction
+    benchmark protocol (Liben-Nowell & Kleinberg 2003 §4).
+
+    Candidate-restricted by construction: only pairs at train-distance 2
+    (cn ≥ min_common after the wedge cap) are rankable, so test pairs
+    outside that set are disclosed, not silently scored — the returned
+    row carries n_test (all held-out pairs) next to n_pos (held-out
+    pairs that are candidates); their gap is the coverage loss.
+
+    Scale shape: the ranking uses tfidf.rank_index_distributed (two-phase
+    range-partitioned rank — no single-partition window), and every AUC
+    input is an exact dyadic rational (integer ranks, half-integer tie
+    averages, counts), so the one final division is engine-portable with
+    no float-sum order sensitivity.
+
+    Returns ONE row: (n_candidates, n_test, n_pos, auc DOUBLE 6 dp);
+    auc is NULL when the candidate set is all-positive or all-negative
+    (the statistic is undefined there)."""
+    from engine.operators.sampling import hash_u
+    from engine.operators.tfidf import rank_index_distributed
+
+    und = _undirected_simple(edges).withColumn(
+        "_u01", hash_u(F.concat_ws(":", F.col("u"), F.col("v")), salt)
+    )
+    test = und.filter(F.col("_u01") < test_frac).select("u", "v")
+    train = und.filter(F.col("_u01") >= test_frac).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    scores = link_prediction_scores(
+        train,
+        exclude_existing=True,
+        max_wedge_degree=max_wedge_degree,
+        min_common=min_common,
+        metrics=metrics,
+    ).select("u", "v", F.col(by).alias("_s"))
+    labeled = scores.join(test.withColumn("_l", F.lit(1)), ["u", "v"], "left").select(
+        F.concat_ws(":", "u", "v").alias("_k"),
+        "_s",
+        F.coalesce("_l", F.lit(0)).alias("_l"),
+    )
+    ranked = rank_index_distributed(labeled, score_col="_s", key_col="_k")
+    # average DESC rank per score class handles ties; ascending rank is
+    # M+1−r_desc, so R⁺ = P(M+1) − Σ np·ar_desc and
+    # AUC = (R⁺ − P(P+1)/2) / (P·(M−P))
+    per_score = ranked.groupBy("_s").agg(
+        F.avg("rank").alias("_ar"),
+        F.sum("_l").alias("_np"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    tot = per_score.agg(
+        F.sum("_cnt").cast("long").alias("n_candidates"),
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum(F.col("_np") * F.col("_ar")).alias("_sd"),
+    )
+    n_test = test.agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+    p = F.col("n_pos").cast("double")
+    m = F.col("n_candidates").cast("double")
+    # try_divide: the statistic is undefined (NULL) for an all-positive
+    # or all-negative candidate set — ANSI mode would throw instead
+    auc = F.try_divide(
+        p * (m + 1) - F.col("_sd") - p * (p + 1) / 2, p * (m - p)
+    )
+    return tot.crossJoin(n_test).select(
+        "n_candidates", "n_test", "n_pos", F.round(auc, 6).alias("auc")
+    )

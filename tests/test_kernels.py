@@ -2558,3 +2558,62 @@ def test_rich_club_random_vs_python_oracle(spark):
     # the k=0 row covers the whole simple graph
     nodes = {x for u, v in edges if u != v for x in (u, v)}
     assert 0 in got and got[0][0] == len(nodes)
+
+
+def _linkpred_auc_py(edges, test_frac=0.2, salt="lp-eval"):
+    """Twin of linkpred.link_prediction_auc: md5 split -> _linkpred_py AA
+    scores on train -> tie-aware Mann-Whitney AUC from average ranks."""
+    import hashlib
+    from collections import defaultdict
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+
+    def u01(p):
+        h = hashlib.md5(f"{p[0]}:{p[1]}{salt}".encode()).hexdigest()
+        return int(h[:8], 16) / 2**32
+
+    test = {p for p in und if u01(p) < test_frac}
+    scores = _linkpred_py(sorted(und - test))
+    labeled = [
+        (f"{u}:{v}", s[2], 1 if (u, v) in test else 0)
+        for (u, v), s in scores.items()
+    ]
+    labeled.sort(key=lambda t: (-t[1], t[0]))
+    by_score = defaultdict(list)
+    for i, (_, sc, l) in enumerate(labeled):
+        by_score[sc].append((i + 1, l))
+    m, p = len(labeled), sum(l for _, _, l in labeled)
+    sd = sum(
+        (sum(r for r, _ in g) / len(g)) * sum(l for _, l in g)
+        for g in by_score.values()
+    )
+    if p == 0 or p == m:
+        return (m, len(test), p, None)
+    return (m, len(test), p, round((p * (m + 1) - sd - p * (p + 1) / 2) / (p * (m - p)), 6))
+
+
+def test_linkpred_auc_vs_python_twin(spark):
+    from engine.operators.linkpred import link_prediction_auc
+
+    edges = [(x, y) for x, y in _sparse_graph(n=100, m=600, seed=11)]
+    r = link_prediction_auc(_edges_df(spark, edges)).collect()[0]
+    m, nt, p, auc = _linkpred_auc_py(edges)
+    assert (r.n_candidates, r.n_test, r.n_pos) == (m, nt, p)
+    assert p >= 50  # the chosen graph really exercises the statistic
+    assert abs(r.auc - auc) < 1e-9
+    assert 0.0 <= r.auc <= 1.0
+
+
+def test_linkpred_auc_undefined_is_null(spark):
+    from engine.operators.linkpred import link_prediction_auc
+
+    # two disjoint 6-cliques: every candidate pair is intra-clique, so any
+    # held-out pair is a positive and the statistic is undefined -> NULL
+    edges = []
+    for base in (0, 100):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    r = link_prediction_auc(_edges_df(spark, edges)).collect()[0]
+    assert r.n_test > 0 and r.n_pos == r.n_candidates
+    assert r.auc is None
