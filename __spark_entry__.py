@@ -979,6 +979,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return link_prediction_auc(e, by="adamic_adar", test_frac=0.2)
 
+    def g42_diameter_2sweep(spark, sf):
+        # double-sweep diameter lower bound (Magnien–Latapy–Habib) on the
+        # undirected sparse bowtie subgraph: BFS from min id, BFS again
+        # from the farthest node — the classic cheap bound the g10/g11
+        # neighborhood-function curve complements. Post-window:
+        # check_contract-validated.
+        from engine.operators.neighborhood import diameter_two_sweep
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return diameter_two_sweep(e, max_depth=60)
+
     def g15_sssp_4round(spark, sf):
         # oracle-gated weighted SSSP (frontier Bellman-Ford) pinned to 4
         # relaxation rounds — by the Bellman-Ford invariant the result is
@@ -1658,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g39_simrank_2iter": g39_simrank_2iter,
         "g40_rich_club": g40_rich_club,
         "g41_linkpred_auc": g41_linkpred_auc,
+        "g42_diameter_2sweep": g42_diameter_2sweep,
         "d9_line_dedupe": d9_line_dedupe,
         "g14_link_prediction": g14_link_prediction,
         "i1c_wpagerank_3iter": i1c_wpagerank_3iter,
@@ -3026,6 +3042,35 @@ def oracle_sql() -> dict[str, str]:
         "g2_label_propagation": lp_sql,
         "g18_lp_modularity": mod_sql,
         "g19_ktruss_3round": ktruss_sql,
+        # double-sweep diameter lower bound: two recursive-CTE BFS
+        # closures, the second seeded by the first's farthest node
+        "g42_diameter_2sweep": """
+            WITH RECURSIVE e0 AS (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ), sym AS MATERIALIZED (
+                SELECT DISTINCT u, v FROM (
+                    SELECT src AS u, dst AS v FROM e0 WHERE src <> dst
+                    UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)
+            ), s1 AS (SELECT min(u) AS id FROM sym),
+            w1(id, dist) AS (
+                SELECT id, CAST(0 AS BIGINT) FROM s1
+                UNION
+                SELECT sym.v, w1.dist + 1
+                FROM w1 JOIN sym ON sym.u = w1.id WHERE w1.dist < 60
+            ), d1 AS (SELECT id, min(dist) AS dist FROM w1 GROUP BY id),
+            far AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id ASC LIMIT 1),
+            w2(id, dist) AS (
+                SELECT id, CAST(0 AS BIGINT) FROM far
+                UNION
+                SELECT sym.v, w2.dist + 1
+                FROM w2 JOIN sym ON sym.u = w2.id WHERE w2.dist < 60
+            ), d2 AS (SELECT id, min(dist) AS dist FROM w2 GROUP BY id)
+            SELECT (SELECT id FROM s1) AS start1,
+                   (SELECT max(dist) FROM d1) AS ecc1,
+                   (SELECT id FROM far) AS start2,
+                   (SELECT max(dist) FROM d2) AS diameter_lb
+        """,
         # link-prediction AUC: the g14 Adamic-Adar scoring over the md5
         # hash-held-out TRAIN split, then tie-aware Mann-Whitney AUC from
         # average descending ranks (all-dyadic arithmetic, one division)

@@ -412,3 +412,41 @@ def effective_diameter(nf: DataFrame, q: float = 0.9) -> float:
             return prev_h + (target - prev_n) / (nh - prev_n) * (h - prev_h)
         prev_h, prev_n = h, nh
     return float(rows[-1][0])
+
+
+def diameter_two_sweep(edges: DataFrame, max_depth: int = 60) -> DataFrame:
+    """Double-sweep diameter lower bound on the undirected simple graph
+    (Magnien, Latapy & Habib, ACM JEA 2009 — the standard cheap bound,
+    empirically tight on web/social graphs): BFS from a deterministic
+    start (the minimum node id), then BFS from the farthest node found
+    (max dist, min-id tie-break); the second sweep's eccentricity lower-
+    bounds the diameter. Two bfs_levels runs — each the frontier kernel
+    with its per-level checkpoint discipline — plus two 1-row driver
+    reductions to pick the seeds (scalar decisions between phases, the
+    same pattern as every iterative kernel's convergence check).
+
+    Returns ONE row (start1, ecc1, start2, diameter_lb), exact longs.
+    Both sweeps honor max_depth; the bound is exact when ecc < max_depth
+    (sweeps that hit the cap report the capped value)."""
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionAll(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    from engine.operators.bfs import bfs_levels
+
+    spark = edges.sparkSession
+    start1 = sym.agg(F.min("src")).collect()[0][0]
+    d1 = bfs_levels(sym, spark.createDataFrame([(start1,)], "id long"), max_depth)
+    far = d1.orderBy(F.col("dist").desc(), F.col("id").asc()).limit(1).collect()[0]
+    d2 = bfs_levels(sym, spark.createDataFrame([(far.id,)], "id long"), max_depth)
+    ecc2 = d2.agg(F.max("dist")).collect()[0][0]
+    return spark.createDataFrame(
+        [(int(start1), int(far.dist), int(far.id), int(ecc2))],
+        "start1 long, ecc1 long, start2 long, diameter_lb long",
+    )

@@ -2617,3 +2617,47 @@ def test_linkpred_auc_undefined_is_null(spark):
     r = link_prediction_auc(_edges_df(spark, edges)).collect()[0]
     assert r.n_test > 0 and r.n_pos == r.n_candidates
     assert r.auc is None
+
+
+def test_diameter_two_sweep_path_and_cycle(spark):
+    from engine.operators.neighborhood import diameter_two_sweep
+
+    # path 0-1-2-3-4: first sweep from 0 reaches 4 at dist 4; the bound
+    # is exact (diameter 4)
+    r = diameter_two_sweep(_edges_df(spark, [(i, i + 1) for i in range(4)])).collect()[0]
+    assert (r.start1, r.ecc1, r.start2, r.diameter_lb) == (0, 4, 4, 4)
+    # 6-cycle: every eccentricity is 3; farthest from 0 is node 3
+    r = diameter_two_sweep(_edges_df(spark, [(i, (i + 1) % 6) for i in range(6)])).collect()[0]
+    assert (r.start1, r.ecc1, r.start2, r.diameter_lb) == (0, 3, 3, 3)
+
+
+def test_diameter_two_sweep_vs_python_bfs(spark):
+    from collections import deque
+
+    from engine.operators.neighborhood import diameter_two_sweep
+
+    edges = _sparse_graph(n=200, m=360, seed=5)
+    adj: dict = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+
+    def bfs(s):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        return dist
+
+    s1 = min(adj)
+    d1 = bfs(s1)
+    ecc1 = max(d1.values())
+    s2 = min(i for i, d in d1.items() if d == ecc1)
+    ecc2 = max(bfs(s2).values())
+    r = diameter_two_sweep(_edges_df(spark, edges)).collect()[0]
+    assert (r.start1, r.ecc1, r.start2, r.diameter_lb) == (s1, ecc1, s2, ecc2)
