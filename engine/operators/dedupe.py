@@ -142,14 +142,28 @@ def keep_max_score(scores: DataFrame, key_col: str = "url", score_col: str = "sc
 # ---------------------------------------------------------------- shingling
 
 def word_shingles_col(text_col, n: int = 3):
-    """Array of word n-gram shingles (space-joined), pure Catalyst."""
+    """Array of word n-gram shingles (space-joined), pure Catalyst.
+
+    The token array is LET-BOUND via transform(array(toks), t -> ...):
+    a higher-order-function lambda captures outer expressions by
+    re-evaluation (no CSE across the lambda boundary), so referencing the
+    tokenizer regex directly inside the per-position lambda re-runs
+    regexp_extract_all once per token — O(len²) regex work per doc
+    (measured 4× on the whole MinHash signature stage at sf0.1). Binding
+    it to a lambda VARIABLE evaluates it exactly once per row; flatten
+    unwraps the 1-element wrapper array."""
     toks = tokenize_col(text_col)
-    return F.when(F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+    def sh(t):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+
+    return F.flatten(F.transform(F.array(toks), sh))
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

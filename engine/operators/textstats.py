@@ -118,13 +118,21 @@ def ngrams_col(text_col, n: int = 2):
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = tokenize_col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    # let-bind the token array (transform over a 1-element wrapper): a HOF
+    # lambda re-evaluates captured outer expressions per element, so using
+    # `toks` directly in the per-position lambda would re-run the tokenizer
+    # regex once per token — O(len²) per doc (see dedupe.word_shingles_col)
+    def grams(t):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.flatten(F.transform(F.array(toks), grams))
 
 
 def top_ngrams(
