@@ -1351,6 +1351,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.length("text")).cast("long").alias("total_chars"),
         )
 
+    def x15_source_cap(spark, sf):
+        # C4/Gopher-style domain balancing: keep at most 10 docs per
+        # source, longest first (n_chars desc, doc_id tie-break) — the
+        # top-N-per-group generalization of the A7 argmax. Post-window:
+        # check_contract-validated.
+        from engine.operators.sampling import cap_per_group
+
+        d = _t(spark, sf, "documents")
+        kept = cap_per_group(
+            d, "source", cap=10, order_by=[F.col("n_chars").desc()]
+        )
+        return kept.select("doc_id", "source", "n_chars")
+
     def x14_unigram_logprob(spark, sf):
         # CCNet-style LM quality proxy (Wenzek et al. 2020 §3.3): mean
         # add-one unigram log-probability per doc, self-scored over the
@@ -1706,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x12_pack_sequences": x12_pack_sequences,
         "x13_corpus_stats": x13_corpus_stats,
         "x14_unigram_logprob": x14_unigram_logprob,
+        "x15_source_cap": x15_source_cap,
         "w4_asof_attribution": w4_asof_attribution,
         "w5_click_attribution": w5_click_attribution,
         "d8_decontaminate_bloom": d8_decontaminate_bloom,
@@ -4232,6 +4246,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
                    round(s.alp, 6) AS avg_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "x15_source_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 10
         """,
         "w5_click_attribution": """
             SELECT i.user_id,

@@ -166,3 +166,47 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / max_len).cast("long").alias("chunk_id"),
         ((cum - F.col("n_tokens")) % max_len).cast("long").alias("chunk_offset"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Keep at most `cap` rows per group — the C4/Gopher-style domain
+    balancing step ("at most N pages per host"), generalizing the
+    keep-one dedupe argmax (dedupe.keep_longest_text) to top-N.
+
+    Deterministic and engine-portable: rows within a group are ranked by
+    `order_by` (default: id_col asc) with id_col as the final tie-break,
+    so the kept set never depends on partitioning or cluster size.
+
+    Spark shape: ONE hash shuffle on the group key + a per-group window
+    row_number. Each group sorts independently inside its partition —
+    the standard top-N-per-key plan; a pathologically hot group (one
+    host owning a double-digit share of the corpus) spills that one
+    partition's sort, never the job. `metrics={}` receives the number of
+    groups that hit the cap and the rows dropped (no silent caps)."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = list(order_by) if order_by else []
+    order.append(F.col(id_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    if metrics is not None:
+        over = (
+            ranked.filter(F.col("_rn") > cap)
+            .agg(
+                F.countDistinct(group_col).alias("g"),
+                F.count(F.lit(1)).alias("d"),
+            )
+            .collect()[0]
+        )
+        metrics["groups_capped"] = int(over["g"])
+        metrics["rows_dropped"] = int(over["d"])
+    return ranked.filter(F.col("_rn") <= cap).drop("_rn")

@@ -139,3 +139,35 @@ def test_pack_sequences_layout_invariants(spark):
     assert {tuple(r) for r in out2} == {tuple(r) for r in out}
     # every bucket's stream is gapless: offsets tile exactly
     assert all(0 <= r.chunk_offset < max_len for r in out)
+
+
+def test_cap_per_group_keeps_topn_and_discloses(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"g{i % 3}", 100 - i) for i in range(20)]  # g0:7, g1:7, g2:6
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    metrics = {}
+    kept = sampling.cap_per_group(
+        df, "source", cap=4, order_by=[F.col("n_chars").desc()], metrics=metrics
+    ).collect()
+    assert len(kept) == 12
+    by_g = {}
+    for r in kept:
+        by_g.setdefault(r.source, []).append(r.n_chars)
+    # per group: the 4 LARGEST n_chars survive (order_by honored)
+    for g, vals in by_g.items():
+        allv = [100 - i for i in range(20) if f"g{i % 3}" == g]
+        assert sorted(vals, reverse=True) == sorted(allv, reverse=True)[:4]
+    assert metrics == {"groups_capped": 3, "rows_dropped": 8}
+
+
+def test_cap_per_group_stable_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(100)], "doc_id long, source string"
+    )
+    a = {(r.doc_id) for r in sampling.cap_per_group(df, "source", 7).collect()}
+    b = {
+        (r.doc_id)
+        for r in sampling.cap_per_group(df.repartition(13), "source", 7).collect()
+    }
+    assert a == b and len(a) == 35
