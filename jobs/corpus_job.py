@@ -10,6 +10,7 @@ pipeline"), with every drop counted in the manifest (no silent drops):
       -> exact dedupe        (md5 fingerprint, keep min id)
       -> near dedupe         (MinHash-LSH, capped hot buckets; --near-dedupe)
       -> decontamination     (n-gram overlap vs --benchmark parquet)
+      -> source cap          (keep N longest docs per host/source; --source-cap)
       -> train/val/test split (leak-proof md5 hash split; engine-portable)
       -> packing layout       (GPT-style chunk ids over md5-bucketed streams)
       -> <out>/corpus parquet + <out>/manifest.json
@@ -17,7 +18,7 @@ pipeline"), with every drop counted in the manifest (no silent drops):
     spark-submit --py-files engine.zip jobs/corpus_job.py \
         --docs /path/documents_parquet --out /path/outdir \
         [--gen-docs 50000 --gen-boiler 5000] [--near-dedupe] \
-        [--benchmark /path/bench_parquet] [--max-len 512]
+        [--benchmark /path/bench_parquet] [--source-cap 1000] [--max-len 512]
 
 Stage order is deliberate: the map-only gates run first (cheapest, inside
 the scan), content dedupe runs on scrubbed text (mirror copies differing
@@ -57,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--max-dup-ngram-frac", type=float, default=0.2)
     ap.add_argument("--dedupe-threshold", type=float, default=0.8)
     ap.add_argument("--benchmark", default=None, help="decontamination benchmark parquet (text column)")
+    ap.add_argument("--source-cap", type=int, default=0,
+                    help="keep at most N docs per --source-col (C4-style domain balancing; 0 = off)")
+    ap.add_argument("--source-col", default="source")
     ap.add_argument("--max-len", type=int, default=512)
     ap.add_argument("--pack-buckets", type=int, default=64)
     ap.add_argument("--splits", default="train:0.9,val:0.05,test:0.05")
@@ -173,6 +177,22 @@ def main(argv=None):
             "clean": clean.count(),
         }
         docs = docs.join(clean, "doc_id", "left_semi")
+
+    # 5b. optional per-source cap (C4-style domain balancing)
+    if args.source_cap > 0:
+        if args.source_col not in docs.columns:
+            raise SystemExit(
+                f"--source-cap needs column '{args.source_col}' in the input "
+                f"docs (have: {docs.columns}); synthetic --gen-docs corpora "
+                "carry no source column"
+            )
+        sc_m: dict = {}
+        docs = sampling.cap_per_group(
+            docs, args.source_col, args.source_cap,
+            order_by=[F.length("text").desc()], metrics=sc_m,
+        ).persist()
+        sc_m["survivors"] = docs.count()
+        manifest["source_cap"] = sc_m
 
     # 6. leak-proof split + 7. packing layout (assignment-only stages)
     splits = {}
