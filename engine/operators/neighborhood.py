@@ -441,12 +441,14 @@ def diameter_two_sweep(edges: DataFrame, max_depth: int = 60) -> DataFrame:
     from engine.operators.bfs import bfs_levels
 
     spark = edges.sparkSession
+    schema = "start1 long, ecc1 long, start2 long, diameter_lb long"
     start1 = sym.agg(F.min("src")).collect()[0][0]
+    if start1 is None:  # no non-loop edges: no rows, not a crash
+        return spark.createDataFrame([], schema)
     d1 = bfs_levels(sym, spark.createDataFrame([(start1,)], "id long"), max_depth)
     far = d1.orderBy(F.col("dist").desc(), F.col("id").asc()).limit(1).collect()[0]
     d2 = bfs_levels(sym, spark.createDataFrame([(far.id,)], "id long"), max_depth)
     ecc2 = d2.agg(F.max("dist")).collect()[0][0]
     return spark.createDataFrame(
-        [(int(start1), int(far.dist), int(far.id), int(ecc2))],
-        "start1 long, ecc1 long, start2 long, diameter_lb long",
+        [(int(start1), int(far.dist), int(far.id), int(ecc2))], schema
     )

@@ -2661,3 +2661,12 @@ def test_diameter_two_sweep_vs_python_bfs(spark):
     ecc2 = max(bfs(s2).values())
     r = diameter_two_sweep(_edges_df(spark, edges)).collect()[0]
     assert (r.start1, r.ecc1, r.start2, r.diameter_lb) == (s1, ecc1, s2, ecc2)
+
+
+def test_diameter_two_sweep_no_edges(spark):
+    from engine.operators.neighborhood import diameter_two_sweep
+
+    # self-loops only -> no non-loop edges -> empty result, not a crash
+    out = diameter_two_sweep(_edges_df(spark, [(1, 1), (2, 2)]))
+    assert out.collect() == []
+    assert out.columns == ["start1", "ecc1", "start2", "diameter_lb"]
