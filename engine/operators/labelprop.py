@@ -29,8 +29,17 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns (id BIGINT, label BIGINT) at convergence (or max_iter).
+
+    weight_col: WEIGHTED synchronous LP — each neighbor votes with the
+    summed edge weight on the (undirected) link instead of 1; parallel
+    edges' weights add. Min-label tie-break unchanged. Integer weights
+    keep the vote totals exact (the oracle-gated configuration); float
+    weights work but ties at float precision are engine-local. The host
+    graph's rolled-up link counts (graph.domain_graph) are the intended
+    input.
 
     broadcast_labels: True → the (small) label vector is broadcast into the
     u-partitioned cached adjacency each round, so join + both grouped
@@ -59,15 +68,30 @@ def label_propagation(
     if broadcast_labels is None:
         broadcast_labels = n <= BROADCAST_NODE_LIMIT
 
-    adj = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .union(
-            edges.filter(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("u"), F.col("src").alias("v")
-            )
+    nonloop = edges.filter(F.col("src") != F.col("dst"))
+    if weight_col is None:
+        adj = (
+            nonloop.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .union(nonloop.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
         )
-        .distinct()
+    else:
+        # undirected vote weight = summed weight over all parallel links
+        adj = (
+            nonloop.select(
+                F.col("src").alias("u"), F.col("dst").alias("v"), F.col(weight_col).alias("w")
+            )
+            .union(
+                nonloop.select(
+                    F.col("dst").alias("u"), F.col("src").alias("v"), F.col(weight_col).alias("w")
+                )
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").alias("w"))
+        )
+    adj = (
+        adj
         # broadcast mode: partition by u so the per-round join + groupBy(u,…)
         # + groupBy(u) chain needs no exchange; shuffle mode: by the join key
         .repartition(P, "u" if broadcast_labels else "v")
@@ -81,7 +105,8 @@ def label_propagation(
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         man = load_manifest(checkpoint_dir) if resume else None
-        if man and man.get("kernel") == "labelprop" and man.get("n") == n:
+        kern = "labelprop" if weight_col is None else "labelprop_weighted"
+        if man and man.get("kernel") == kern and man.get("n") == n:
             start_iter = man["completed_iter"] + 1
             round_metrics = man.get("iterations", [])
             labels = (
@@ -104,8 +129,8 @@ def label_propagation(
         lbl_v = labels.withColumnRenamed("id", "v")
         if broadcast_labels:
             lbl_v = F.broadcast(lbl_v)
-        nbr = adj.join(lbl_v, "v").select("u", "label")
-        counts = nbr.groupBy("u", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        nbr = adj.join(lbl_v, "v").select("u", "label", "w")
+        counts = nbr.groupBy("u", "label").agg(F.sum("w").alias("cnt"))
         # most frequent, min label on ties: max over (cnt, -label)
         best = counts.groupBy("u").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top")
@@ -135,7 +160,7 @@ def label_propagation(
                 checkpoint_dir,
                 it,
                 {
-                    "kernel": "labelprop",
+                    "kernel": "labelprop" if weight_col is None else "labelprop_weighted",
                     "n": n,
                     "converged": changed == 0,
                     "iterations": round_metrics,

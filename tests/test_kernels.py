@@ -2670,3 +2670,53 @@ def test_diameter_two_sweep_no_edges(spark):
     out = diameter_two_sweep(_edges_df(spark, [(1, 1), (2, 2)]))
     assert out.collect() == []
     assert out.columns == ["start1", "ecc1", "start2", "diameter_lb"]
+
+
+def test_weighted_lp_vs_python_twin(spark):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    edges = _sparse_graph(n=60, m=500, seed=3)  # dense enough for parallels
+
+    def wlp_py(rounds=10):
+        w: dict = defaultdict(int)
+        nodes = set()
+        for u, v in edges:
+            nodes.update((u, v))
+            if u != v:
+                w[(u, v)] += 1
+        adj: dict = defaultdict(lambda: defaultdict(int))
+        for (u, v), k in w.items():
+            adj[u][v] += k
+            adj[v][u] += k
+        lab = {x: x for x in nodes}
+        for _ in range(rounds):
+            new = {}
+            for u in nodes:
+                votes: dict = defaultdict(int)
+                for v, k in adj[u].items():
+                    votes[lab[v]] += k
+                new[u] = (
+                    max(votes.items(), key=lambda t: (t[1], -t[0]))[0]
+                    if votes
+                    else lab[u]
+                )
+            lab = new
+        return lab
+
+    e_w = (
+        _edges_df(spark, edges)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    got = {r.id: r.label for r in label_propagation(e_w, max_iter=10, weight_col="w").collect()}
+    assert got == wlp_py()
+    # a multigraph where weights flip the vote: hub 10 ties 1-vs-2 by
+    # neighbor count but edge (10,1) carries weight 3
+    tiny = [(10, 1), (10, 1), (10, 1), (10, 2), (1, 1)]
+    e2 = (
+        _edges_df(spark, tiny).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    )
+    lab1 = {r.id: r.label for r in label_propagation(e2, max_iter=1, weight_col="w").collect()}
+    assert lab1[10] == 1  # weighted vote: 3 > 1 (unweighted would tie -> min)
