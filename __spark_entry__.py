@@ -585,6 +585,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("knn_rank").cast("long").alias("knn_rank"),
         )
 
+    def sim6_knn_classify(spark, sf):
+        # k-NN majority-vote label imputation (leave-one-out: a vector
+        # never votes for itself) on the exact cosine top-5 — the label-
+        # propagation / label-noise-audit op over the embedding table.
+        # Ties break to the smaller label. Post-window: check_contract.
+        e = _t(spark, sf, "embeddings")
+        return similarity.knn_classify(e, k=5)
+
     def c2_ws_normalize(spark, sf):
         d = _t(spark, sf, "documents")
         return d.select(
@@ -1654,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_quality_scores": x4_quality_scores,
         "p2_dense_ids": p2_dense_ids,
         "sim1_cosine_topk": sim1_cosine_topk,
+        "sim6_knn_classify": sim6_knn_classify,
         "q1_combined_search": q1_combined_search,
         "q2_search_api": q2_search_api,
         "g1_connected_components": g1_connected_components,
@@ -4294,6 +4303,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
                    round(s.alp, 6) AS avg_logprob
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "sim6_knn_classify": """
+            WITH pairs AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       b.label AS nl,
+                       list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT query_id, nl,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY c DESC, neighbor_id ASC) AS knn_rank
+                FROM pairs
+            ), votes AS (
+                SELECT query_id, nl, count(*) AS cnt
+                FROM r WHERE knn_rank <= 5 GROUP BY query_id, nl
+            ), best AS (
+                SELECT query_id, nl AS pred_label, cnt AS pred_votes
+                FROM (
+                    SELECT query_id, nl, cnt,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cnt DESC, nl ASC) AS rn
+                    FROM votes
+                ) WHERE rn = 1
+            )
+            SELECT e.vec_id,
+                   CAST(e.label AS BIGINT) AS label,
+                   CAST(b.pred_label AS BIGINT) AS pred_label,
+                   CAST(b.pred_votes AS BIGINT) AS pred_votes,
+                   e.label = b.pred_label AS agree
+            FROM embeddings e JOIN best b ON b.query_id = e.vec_id
         """,
         "x15_source_cap": """
             SELECT doc_id, source, n_chars FROM (

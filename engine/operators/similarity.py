@@ -359,3 +359,62 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label imputation over the embedding table — the
+    training-data op behind label propagation to unlabeled web documents
+    and leave-one-out label-noise auditing (a vector's own row never votes
+    for itself, so the prediction doubles as the LOO cross-validation).
+
+    Built on the exact `cosine_topk` block sweep: each vector takes the
+    majority label of its k nearest neighbors (ties → smaller label, the
+    repo-wide deterministic tie-break), then the row's own label rides
+    along for agreement checks. Returns (vec_id, label, pred_label,
+    pred_votes BIGINT, agree BOOLEAN).
+
+    Scale shape: ONE extra broadcast-size join (the label dictionary) and
+    two grouped aggregates on top of the top-k sweep — the vote grouping
+    keys start with query_id, so both aggregates reuse the top-k window's
+    hash partitioning."""
+    topk = cosine_topk(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    lab = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        topk.join(lab, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    best = (
+        votes.groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_cnt"), (-F.col("_nl")).cast("long").alias("_neg"))
+            ).alias("_top")
+        )
+        .select(
+            "query_id",
+            (-F.col("_top._neg")).alias("pred_label"),
+            F.col("_top._cnt").cast("long").alias("pred_votes"),
+        )
+    )
+    own = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return (
+        own.join(best, "query_id")
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("label").cast("long").alias("label"),
+            "pred_label",
+            "pred_votes",
+            (F.col("label").cast("long") == F.col("pred_label")).alias("agree"),
+        )
+    )

@@ -779,3 +779,39 @@ def test_transform_is_arrow_batched(spark):
     out = whitening.transform_embeddings(df, np.zeros(64), np.eye(64))
     plan = pi.physical_plan(out)
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_knn_classify_clustered_labels(spark):
+    import numpy as np
+
+    from engine.operators.similarity import knn_classify
+
+    # two tight clusters around orthogonal axes: every vector's 3 nearest
+    # neighbors share its cluster, so LOO prediction is perfect
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(12):
+        base = np.zeros(8)
+        base[0 if i < 6 else 4] = 1.0
+        v = base + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v], 0 if i < 6 else 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r for r in knn_classify(df, k=3).collect()}
+    assert len(got) == 12
+    assert all(r.agree and r.pred_label == r.label and r.pred_votes == 3 for r in got.values())
+
+
+def test_knn_classify_tie_breaks_to_min_label(spark):
+    from engine.operators.similarity import knn_classify
+
+    # query 0 between two singleton clusters of labels 7 and 3 with k=2:
+    # one vote each -> tie -> pred 3
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0], 9),
+        (1, [1.0, 0.0, 0.0, 0.0], 7),
+        (2, [0.0, 1.0, 0.0, 0.0], 3),
+        (3, [-1.0, -1.0, 0.0, 0.0], 5),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = {x.vec_id: x for x in knn_classify(df, k=2).collect()}[0]
+    assert r.pred_label == 3 and r.pred_votes == 1 and not r.agree
