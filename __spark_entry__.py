@@ -1394,6 +1394,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = textstats.unigram_lm_scores(d, "doc_id", "text")
         return s.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
+    def w6_segment_revenue(spark, sf):
+        # stream-STATIC enrichment join (broadcast customer dim) +
+        # tumbling-window purchase revenue per market segment — the w1
+        # window with a dimension join in front. The engine function's
+        # double sums run the streaming side (parity pytest); this key
+        # re-aggregates with the exact-decimal policy (the w1 technique).
+        # Post-window: check_contract-validated.
+        e = _t(spark, sf, "events")
+        c = _t(spark, sf, "customer")
+        p = e.filter(F.col("event_type") == "purchase")
+        d = c.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        agg = (
+            p.join(F.broadcast(d), "user_id")
+            .groupBy(F.window("ts", "1 day").alias("win"), "segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                _dsum(F.col("value"), "revenue"),
+            )
+        )
+        return agg.select(
+            F.unix_timestamp(F.col("win.start")).alias("window_epoch"),
+            "segment",
+            "n_purchases",
+            "revenue",
+        )
+
     def w5_click_attribution(spark, sf):
         # Stream-stream interval join (batch form, oracle-gated): every
         # (view, click) pair of the same user with the click inside
@@ -1745,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_source_cap": x15_source_cap,
         "w4_asof_attribution": w4_asof_attribution,
         "w5_click_attribution": w5_click_attribution,
+        "w6_segment_revenue": w6_segment_revenue,
         "d8_decontaminate_bloom": d8_decontaminate_bloom,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
@@ -4346,6 +4376,15 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 10
+        """,
+        "w6_segment_revenue": """
+            SELECT CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS window_epoch,
+                   c.c_mktsegment AS segment,
+                   count(*) AS n_purchases,
+                   CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
         """,
         "w5_click_attribution": """
             SELECT i.user_id,

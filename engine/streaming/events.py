@@ -47,6 +47,36 @@ def windowed_event_counts(
     )
 
 
+def windowed_segment_revenue(
+    events: DataFrame,
+    dim: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    on: str = "user_id",
+    dim_key: str = "c_custkey",
+    segment_col: str = "c_mktsegment",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + tumbling-window purchase revenue per
+    customer segment — the canonical streaming-enrichment pattern: the
+    static dimension broadcasts to every micro-batch (the join itself is
+    STATELESS; only the window aggregate holds watermark-bounded state).
+    On batch inputs the SAME expression is the oracle (w6 contract key).
+    Returns (window_start, segment, n_purchases, revenue)."""
+    p = events.filter(F.col("event_type") == "purchase")
+    if p.isStreaming:
+        p = p.withWatermark("ts", watermark)
+    d = dim.select(F.col(dim_key).alias(on), F.col(segment_col).alias("segment"))
+    return (
+        p.join(F.broadcast(d), on)
+        .groupBy(F.window("ts", window).alias("win"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value").alias("revenue"),
+        )
+        .select(F.col("win.start").alias("window_start"), "segment", "n_purchases", "revenue")
+    )
+
+
 def attribute_clicks(
     impressions: DataFrame,
     clicks: DataFrame,

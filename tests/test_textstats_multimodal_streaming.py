@@ -625,3 +625,42 @@ def test_attribute_clicks_stream_matches_batch(spark, tmp_path):
         for r in spark.table("click_attr").collect()
     }
     assert got == want
+
+
+def test_segment_revenue_stream_matches_batch(spark, tmp_path):
+    from engine.streaming import events as sev
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    dim = spark.read.parquet(f"{SF}/customer.parquet")
+    src = str(tmp_path / "ev_in")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    batch = sev.windowed_segment_revenue(spark.read.parquet(src), dim)
+    want = {
+        (r.window_start, r.segment, r.n_purchases, round(r.revenue, 6))
+        for r in batch.collect()
+    }
+    assert want and len({s for _, s, _, _ in want}) >= 3  # several segments hit
+
+    # static side broadcasts into every micro-batch; wide watermark so the
+    # arbitrary file arrival order drops nothing (see w5's parity note) --
+    # with a never-advancing watermark, append mode would hold every window
+    # open forever, so drain in COMPLETE mode (final state == batch result)
+    out = sev.windowed_segment_revenue(
+        sev.read_event_stream(spark, src), dim, watermark="365 days"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seg_rev")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.segment, r.n_purchases, round(r.revenue, 6))
+        for r in spark.table("seg_rev").collect()
+    }
+    assert got == want
