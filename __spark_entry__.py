@@ -362,6 +362,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = pagerank(e, nodes=nodes, tol=0.0, max_iter=3, check_every=3)
         return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
+    def g44_rank_agreement(spark, sf):
+        # ranking-agreement diagnostic: does out-degree predict the
+        # 3-iter PageRank here? Tie-aware Spearman rho over 6dp-quantized
+        # ranks (exact dyadic average-rank inputs; corr is the only float
+        # reduce) + deterministic top-100 Jaccard. Post-window:
+        # check_contract-validated.
+        from engine.operators.rankeval import rank_agreement
+
+        e = _edges(spark, sf)
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        res = pagerank(e, nodes=nodes, tol=0.0, max_iter=3, check_every=3)
+        pr = res.ranks.select("id", F.round("rank", 6).alias("rank"))
+        od = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        return rank_agreement(pr, od, val_a="rank", val_b="deg", top_k=100)
+
     def i1c_wpagerank_3iter(spark, sf):
         # oracle-gated WEIGHTED PageRank (weight_col — anchor-text/link-
         # frequency weighting): contributions rank·w/Σw(src) instead of
@@ -1654,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_left_join_coalesce": j3_left_join_coalesce,
         "j4_salted_gather_revenue": j4_salted_gather_revenue,
         "i1b_pagerank_3iter": i1b_pagerank_3iter,
+        "g44_rank_agreement": g44_rank_agreement,
         "f8_semi_join": f8_semi_join,
         "j5_anti_join": j5_anti_join,
         "a6_distinct_pairs": a6_distinct_pairs,
@@ -2428,6 +2450,39 @@ def oracle_sql() -> dict[str, str]:
         "j4_gather_revenue": revenue_sql,
         "j4_salted_gather_revenue": revenue_sql,
         "i1b_pagerank_3iter": pagerank3_sql,
+        # rank-agreement diagnostic over the SAME unrolled 3-iter PageRank
+        "g44_rank_agreement": f"""
+            WITH pr AS MATERIALIZED (SELECT * FROM ({pagerank3_sql})),
+            od AS MATERIALIZED (
+                SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+                FROM ({_EDGES_SQL}) GROUP BY src
+            ),
+            j AS MATERIALIZED (
+                SELECT pr.id, pr.rank, od.deg FROM pr JOIN od USING (id)
+            ),
+            ra AS MATERIALIZED (
+                SELECT id, avg(rn) OVER (PARTITION BY rank) AS ra FROM (
+                    SELECT id, rank,
+                           row_number() OVER (ORDER BY rank DESC, id ASC) AS rn
+                    FROM j)
+            ),
+            rb AS MATERIALIZED (
+                SELECT id, avg(rn) OVER (PARTITION BY deg) AS rb FROM (
+                    SELECT id, deg,
+                           row_number() OVER (ORDER BY deg DESC, id ASC) AS rn
+                    FROM j)
+            ),
+            ta AS MATERIALIZED (SELECT id FROM j ORDER BY rank DESC, id ASC LIMIT 100),
+            tb AS MATERIALIZED (SELECT id FROM j ORDER BY deg DESC, id ASC LIMIT 100)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM j) AS n,
+                   round((SELECT corr(ra.ra, rb.rb)
+                          FROM ra JOIN rb ON ra.id = rb.id), 6) AS spearman,
+                   round(
+                       CAST((SELECT count(*) FROM ta JOIN tb ON ta.id = tb.id) AS DOUBLE)
+                       / (SELECT count(DISTINCT id) FROM (
+                              SELECT id FROM ta UNION ALL SELECT id FROM tb)),
+                   6) AS topk_jaccard
+        """,
         "i1c_wpagerank_3iter": wpagerank3_sql,
         # weighted SSSP unrolled to 4 Bellman-Ford rounds: d_k(v) = min over
         # (d_{k-1}(v), min_{u->v} d_{k-1}(u) + w) — exact integral-double

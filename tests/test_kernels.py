@@ -2720,3 +2720,36 @@ def test_weighted_lp_vs_python_twin(spark):
     )
     lab1 = {r.id: r.label for r in label_propagation(e2, max_iter=1, weight_col="w").collect()}
     assert lab1[10] == 1  # weighted vote: 3 > 1 (unweighted would tie -> min)
+
+
+def test_rank_agreement_known_values(spark):
+    from engine.operators.rankeval import rank_agreement
+
+    # identical rankings -> rho 1, jaccard 1; reversed -> rho -1
+    a = spark.createDataFrame([(i, float(i)) for i in range(20)], "id long, s double")
+    b = spark.createDataFrame([(i, float(i) * 3) for i in range(20)], "id long, t double")
+    r = rank_agreement(a, b, val_a="s", val_b="t", top_k=5).collect()[0]
+    assert (r.n, r.spearman, r.topk_jaccard) == (20, 1.0, 1.0)
+    c = spark.createDataFrame([(i, float(-i)) for i in range(20)], "id long, t double")
+    r = rank_agreement(a, c, val_a="s", val_b="t", top_k=5).collect()[0]
+    assert r.spearman == -1.0 and r.topk_jaccard == 0.0
+
+
+def test_rank_agreement_tie_math(spark):
+    from engine.operators.rankeval import rank_agreement
+
+    # b has one big tie group; textbook tie-aware rho via average ranks
+    a_vals = [5.0, 4.0, 3.0, 2.0, 1.0]
+    b_vals = [9.0, 7.0, 7.0, 7.0, 1.0]
+    a = spark.createDataFrame(list(enumerate(a_vals)), "id long, s double")
+    b = spark.createDataFrame(list(enumerate(b_vals)), "id long, t double")
+    got = rank_agreement(a, b, val_a="s", val_b="t", top_k=2).collect()[0]
+    # average ranks: a -> [1,2,3,4,5]; b -> [1,3,3,3,5]; Pearson of those:
+    import statistics
+
+    ra, rb = [1, 2, 3, 4, 5], [1, 3, 3, 3, 5]
+    mr, ms = statistics.mean(ra), statistics.mean(rb)
+    num = sum((x - mr) * (y - ms) for x, y in zip(ra, rb))
+    den = (sum((x - mr) ** 2 for x in ra) * sum((y - ms) ** 2 for y in rb)) ** 0.5
+    assert abs(got.spearman - round(num / den, 6)) < 1e-9
+    assert got.topk_jaccard == 1.0  # top-2 by value+id agree: {0,1}
