@@ -383,6 +383,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rank_agreement(pr, od, val_a="rank", val_b="deg", top_k=100)
 
+    def g45_rank_gini(spark, sf):
+        # PageRank mass concentration: Gini of the 3-iter rank vector
+        # (rank inequality over the crawl — the Lorenz-curve web
+        # measurement). Exact decimal i*x sums over the two-phase global
+        # rank; two final double divisions. Post-window: check_contract.
+        from engine.operators.rankeval import score_gini
+
+        e = _edges(spark, sf)
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        res = pagerank(e, nodes=nodes, tol=0.0, max_iter=3, check_every=3)
+        pr = res.ranks.select("id", F.round("rank", 6).alias("rank"))
+        return score_gini(pr, key="id", val="rank")
+
     def i1c_wpagerank_3iter(spark, sf):
         # oracle-gated WEIGHTED PageRank (weight_col — anchor-text/link-
         # frequency weighting): contributions rank·w/Σw(src) instead of
@@ -1676,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_salted_gather_revenue": j4_salted_gather_revenue,
         "i1b_pagerank_3iter": i1b_pagerank_3iter,
         "g44_rank_agreement": g44_rank_agreement,
+        "g45_rank_gini": g45_rank_gini,
         "f8_semi_join": f8_semi_join,
         "j5_anti_join": j5_anti_join,
         "a6_distinct_pairs": a6_distinct_pairs,
@@ -2450,6 +2468,29 @@ def oracle_sql() -> dict[str, str]:
         "j4_gather_revenue": revenue_sql,
         "j4_salted_gather_revenue": revenue_sql,
         "i1b_pagerank_3iter": pagerank3_sql,
+        "g45_rank_gini": f"""
+            WITH pr AS MATERIALIZED (SELECT * FROM ({pagerank3_sql})),
+            r AS MATERIALIZED (
+                SELECT rank AS v,
+                       row_number() OVER (ORDER BY rank DESC, id ASC) AS rd
+                FROM pr
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(v AS DECIMAL(28,9))) AS sx,
+                       sum(CAST(v AS DECIMAL(28,9)) * rd) AS sdx
+                FROM r
+            )
+            SELECT n,
+                   round(CAST(sx AS DOUBLE), 6) AS total,
+                   round(
+                       2.0 * ((CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE)
+                              - CAST(sdx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                       - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE),
+                   6) AS gini
+            FROM agg
+        """,
         # rank-agreement diagnostic over the SAME unrolled 3-iter PageRank
         "g44_rank_agreement": f"""
             WITH pr AS MATERIALIZED (SELECT * FROM ({pagerank3_sql})),

@@ -79,3 +79,45 @@ def rank_agreement(
         "spearman",
         F.round(F.lit(inter) / F.lit(union), 6).alias("topk_jaccard"),
     )
+
+
+def score_gini(
+    scores: DataFrame,
+    key: str = "id",
+    val: str = "rank",
+) -> DataFrame:
+    """Gini coefficient of a non-negative score distribution — the
+    classic "how concentrated is PageRank mass" web measurement (rank
+    inequality over the crawl). Sorted-order formula
+
+        G = (2·Σ i·x_(i)) / (n·Σ x) − (n + 1)/n
+
+    with i the ASCENDING rank from the two-phase distributed global rank.
+    Tied values make the Σ invariant to tie order (x constant within a
+    tie block), so the deterministic key tie-break costs nothing.
+    Float policy: callers pass quantized scores (the round-6 rule);
+    products i·x sum as exact DECIMAL(38,9); the two final divisions are
+    the only float ops. ONE row: (n BIGINT, total DOUBLE, gini DOUBLE 6dp).
+    """
+    from engine.operators.tfidf import rank_index_distributed
+
+    scored = scores.select(F.col(key), F.col(val).alias("_v"))
+    ranked = rank_index_distributed(scored, score_col="_v", key_col=key)
+    # rank_index_distributed ranks DESC; ascending i = n + 1 - rank_desc,
+    # folded into the aggregate so no second pass is paid
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_v").cast("decimal(28,9)")).alias("_sx"),
+        F.sum(
+            F.col("_v").cast("decimal(28,9)") * F.col("rank").cast("decimal(28,0)")
+        ).alias("_sdx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    # Σ i·x with ascending i: (n+1)·Σx − Σ rank_desc·x
+    six = (n + 1) * sx - F.col("_sdx").cast("double")
+    return agg.select(
+        "n",
+        F.round(sx, 6).alias("total"),
+        F.round(F.lit(2.0) * six / (n * sx) - (n + 1) / n, 6).alias("gini"),
+    )

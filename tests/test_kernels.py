@@ -2753,3 +2753,26 @@ def test_rank_agreement_tie_math(spark):
     den = (sum((x - mr) ** 2 for x in ra) * sum((y - ms) ** 2 for y in rb)) ** 0.5
     assert abs(got.spearman - round(num / den, 6)) < 1e-9
     assert got.topk_jaccard == 1.0  # top-2 by value+id agree: {0,1}
+
+
+def test_score_gini_known_distributions(spark):
+    from engine.operators.rankeval import score_gini
+
+    # perfectly equal scores -> G = 0
+    eq = spark.createDataFrame([(i, 2.5) for i in range(50)], "id long, s double")
+    r = score_gini(eq, val="s").collect()[0]
+    assert (r.n, r.gini) == (50, 0.0) and abs(r.total - 125.0) < 1e-9
+    # one node owns everything -> G = (n-1)/n
+    one = spark.createDataFrame(
+        [(0, 10.0)] + [(i, 0.0) for i in range(1, 10)], "id long, s double"
+    )
+    r = score_gini(one, val="s").collect()[0]
+    assert abs(r.gini - 0.9) < 1e-9
+    # brute-force twin on an arbitrary vector
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, s double")
+    xs = sorted(vals)
+    n, sx = len(xs), sum(xs)
+    want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sx) - (n + 1) / n
+    r = score_gini(df, val="s").collect()[0]
+    assert abs(r.gini - round(want, 6)) < 1e-9
