@@ -86,9 +86,21 @@ def main(argv=None):
     with open(os.path.join(args.out, "topk.txt"), "w") as f:
         f.write(report)
 
+    # rank-mass concentration diagnostic (Lorenz/Gini over the final
+    # vector, 6dp-quantized): one extra distributed pass, surfaces "did
+    # the damping concentrate mass on a few hubs" next to convergence
+    from pyspark.sql import functions as F
+
+    from engine.operators.rankeval import score_gini
+
+    gini_row = score_gini(
+        ranks.select("id", F.round("rank", 6).alias("rank"))
+    ).collect()[0]
+
     summary = {
         "n": res.num_nodes,
         "m": res.num_edges,
+        "rank_gini": gini_row["gini"],
         "iterations": res.iterations,
         "converged": res.converged,
         "final_delta": res.final_delta,
