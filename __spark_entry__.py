@@ -318,6 +318,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.col("media_bytes").cast("long").alias("media_bytes"), "media_kind"
         )
 
+    def m2_audio_chunk_layout(spark, sf):
+        # multimodal chunking layout: fixed-duration PCM segment
+        # boundaries from byte lengths alone (no codec in the container,
+        # and none needed — pure Catalyst sequence/explode). 5 ms chunks
+        # at 16 kHz/16-bit = 160-byte chunks, so sf docs yield several
+        # rows each. Post-window: check_contract-validated.
+        from engine.operators.multimodal import chunk_audio_layout
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("media")
+        )
+        return chunk_audio_layout(d, "doc_id", "media", chunk_ms=5)
+
     def w1_event_window_agg(spark, sf):
         e = _t(spark, sf, "events")
         win = ev.windowed_event_counts(e, window="1 day")
@@ -1720,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_hash_split": x6_hash_split,
         "x3_langid": x3_langid,
         "m1_media_meta": m1_media_meta,
+        "m2_audio_chunk_layout": m2_audio_chunk_layout,
         "w1_event_window_agg": w1_event_window_agg,
         "w2_session_counts": w2_session_counts,
         "i2b_ppr_3iter": i2b_ppr_3iter,
@@ -4472,6 +4486,23 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 10
+        """,
+        "m2_audio_chunk_layout": """
+            WITH b AS (
+                SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+                WHERE octet_length(encode(text)) > 0
+            ), x AS (
+                SELECT doc_id, nb,
+                       unnest(range(0,
+                           CAST(floor((nb + 159) / 160) AS BIGINT))) AS i
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   CAST(i * 160 AS BIGINT) AS start_byte,
+                   CAST(least(160, nb - i * 160) AS BIGINT) AS chunk_bytes,
+                   CAST(i * 5 AS BIGINT) AS start_ms
+            FROM x
         """,
         "w6_segment_revenue": """
             SELECT CAST(epoch(date_trunc('day', e.ts)) AS BIGINT) AS window_epoch,

@@ -112,3 +112,41 @@ def decode_image_features(
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def chunk_audio_layout(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "media",
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    chunk_ms: int = 250,
+) -> DataFrame:
+    """Fixed-duration chunking LAYOUT for an opaque PCM audio column,
+    computed purely from byte lengths + container metadata — the
+    training-pipeline step that decides segment boundaries BEFORE any
+    codec runs (each chunk row later feeds the decode/feature UDF).
+    Because no decode is needed, this stays whole-stage-codegen Catalyst
+    (octet_length → sequence → explode), unlike the injectable-decoder
+    ops above. All outputs exact integers.
+
+    Rows: (id, chunk_idx, start_byte, chunk_bytes, start_ms); empty/NULL
+    blobs produce no rows."""
+    bpc = sample_rate * bytes_per_sample * chunk_ms // 1000
+    if bpc < 1:
+        raise ValueError("chunk shorter than one sample")
+    n = F.coalesce(F.octet_length(F.col(bin_col)), F.lit(0))
+    n_chunks = F.floor((n + bpc - 1) / F.lit(bpc)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n.cast("long").alias("_nb"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx").cast("long") * bpc
+    return base.filter(F.col("_nb") > 0).select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_byte"),
+        F.least(F.lit(bpc).cast("long"), F.col("_nb") - start).alias("chunk_bytes"),
+        (F.col("chunk_idx").cast("long") * chunk_ms).alias("start_ms"),
+    )

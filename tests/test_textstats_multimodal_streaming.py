@@ -664,3 +664,26 @@ def test_segment_revenue_stream_matches_batch(spark, tmp_path):
         for r in spark.table("seg_rev").collect()
     }
     assert got == want
+
+
+def test_chunk_audio_layout_invariants(spark):
+    from engine.operators.multimodal import chunk_audio_layout
+
+    rows = [(1, b"x" * 500), (2, b"y" * 160), (3, b""), (4, None), (5, b"z" * 161)]
+    df = spark.createDataFrame(rows, "id long, media binary")
+    # 160-byte chunks (16kHz * 2B * 5ms)
+    got = chunk_audio_layout(df, chunk_ms=5).collect()
+    by_id: dict = {}
+    for r in got:
+        by_id.setdefault(r.id, []).append(r)
+    assert set(by_id) == {1, 2, 5}  # empty & NULL blobs produce no rows
+    assert [ (r.chunk_idx, r.start_byte, r.chunk_bytes, r.start_ms) for r in sorted(by_id[1], key=lambda r: r.chunk_idx) ] == [
+        (0, 0, 160, 0), (1, 160, 160, 5), (2, 320, 160, 10), (3, 480, 20, 15),
+    ]
+    assert [(r.chunk_bytes,) for r in by_id[2]] == [(160,)]
+    assert sorted((r.chunk_idx, r.chunk_bytes) for r in by_id[5]) == [(0, 160), (1, 1)]
+    # reassembly invariant: chunk bytes sum to the blob size
+    assert sum(r.chunk_bytes for r in by_id[1]) == 500
+    # pure Catalyst: no Python in the plan
+    plan = chunk_audio_layout(df, chunk_ms=5)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
