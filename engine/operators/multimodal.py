@@ -150,3 +150,64 @@ def chunk_audio_layout(
         F.least(F.lit(bpc).cast("long"), F.col("_nb") - start).alias("chunk_bytes"),
         (F.col("chunk_idx").cast("long") * chunk_ms).alias("start_ms"),
     )
+
+
+FRAME_SCHEMA = "id bigint, frame_idx int, ts_ms bigint, mean_px double"
+
+
+def _default_video_decoder(blob: bytes, every_ms: int):
+    raise NotImplementedError(
+        "no video codec in this container: inject decoder=(blob, every_ms) -> "
+        "iterable of (frame_idx, ts_ms, ndarray) — e.g. an av/ffmpeg wrapper; "
+        "fake_video_decoder provides the deterministic test double"
+    )
+
+
+def fake_video_decoder(blob: bytes, every_ms: int):
+    """Deterministic stand-in: 'duration' is 1 ms per byte; one 4x4 'frame'
+    sampled every `every_ms` ms, pixels derived from the bytes at the
+    sample offset (wrapping)."""
+    import numpy as np
+
+    n = len(blob)
+    ts = 0
+    idx = 0
+    while ts < max(n, 1):
+        px = np.frombuffer(
+            bytes((blob[(ts + j) % max(n, 1)] if n else 0) for j in range(16)),
+            dtype=np.uint8,
+        ).reshape(4, 4)
+        yield idx, ts, px
+        idx += 1
+        ts += every_ms
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "media",
+    every_ms: int = 1000,
+    decoder=None,
+) -> DataFrame:
+    """Frame sampling: one blob → MANY (frame_idx, ts_ms, feature) rows —
+    the one-to-many Arrow-batched shape the image ops above don't
+    exercise. Container parse + decode are injected (this container ships
+    no codecs; the plumbing — schema, batching, per-partition
+    parallelism, row explosion — is real and tested with
+    fake_video_decoder)."""
+    dec = decoder or _default_video_decoder
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"id": [], "frame_idx": [], "ts_ms": [], "mean_px": []}
+            for i, blob in zip(pdf[id_col], pdf[bin_col]):
+                for idx, ts, frame in dec(bytes(blob) if blob is not None else b"", every_ms):
+                    rows["id"].append(int(i))
+                    rows["frame_idx"].append(int(idx))
+                    rows["ts_ms"].append(int(ts))
+                    rows["mean_px"].append(float(frame.mean()))
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(run, schema=FRAME_SCHEMA)

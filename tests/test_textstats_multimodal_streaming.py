@@ -687,3 +687,27 @@ def test_chunk_audio_layout_invariants(spark):
     # pure Catalyst: no Python in the plan
     plan = chunk_audio_layout(df, chunk_ms=5)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_sample_frames_one_to_many_plumbing(spark):
+    import pytest as _pytest
+
+    from engine.operators.multimodal import fake_video_decoder, sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(100))), (2, b"\xff" * 10), (3, b"")], "id long, media binary"
+    )
+    got = sample_frames(df, every_ms=30, decoder=fake_video_decoder).collect()
+    by_id: dict = {}
+    for r in got:
+        by_id.setdefault(r.id, []).append(r)
+    # 100 'ms' at one frame per 30 ms -> ts 0,30,60,90; 10 ms -> ts 0; empty -> 1 frame at ts 0
+    assert [r.ts_ms for r in sorted(by_id[1], key=lambda r: r.frame_idx)] == [0, 30, 60, 90]
+    assert len(by_id[2]) == 1 and by_id[2][0].mean_px == 255.0
+    assert len(by_id[3]) == 1 and by_id[3][0].mean_px == 0.0
+    # deterministic: same input, same frames
+    again = sample_frames(df, every_ms=30, decoder=fake_video_decoder).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # default decoder fails loudly, not silently
+    with _pytest.raises(Exception, match="NotImplementedError|video codec"):
+        sample_frames(df, every_ms=30).collect()
