@@ -478,3 +478,33 @@ def test_corpus_job_line_dedupe_stage(tmp_path):
     assert texts[2] == "unique beta line"
     assert texts[5] == "unique delta line"
     assert "shared boiler line" in texts[1]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_1K), reason="reference fixtures absent")
+def test_eval_job_suite(tmp_path):
+    """The eval-suite job runs the measurement family end-to-end and its
+    JSON cross-checks the library ops it composes."""
+    out = tmp_path / "ev"
+    proc = subprocess.run(
+        [
+            sys.executable, str(REPO / "jobs" / "eval_job.py"),
+            "--edges", REF_1K, "--format", "text",
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--out", str(out), "--master", "local[8]", "--partitions", "8",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    ev = json.loads((out / "eval.json").read_text())
+    assert ev["edges"] == 10000
+    a = ev["linkpred_auc"]
+    assert a["n_pos"] <= a["n_test"] and 0.0 <= a["auc"] <= 1.0
+    assert ev["rank_agreement"]["n"] == 1000
+    assert -1.0 <= ev["rank_agreement"]["spearman"] <= 1.0
+    assert 0.0 <= ev["rank_gini"] <= 1.0
+    k = ev["knn_accuracy"]
+    assert k["n"] > 0 and abs(k["acc"] - k["agree"] / k["n"]) < 1e-6
+    import pyarrow.parquet as pq
+
+    assert len(pq.read_table(out / "ranks").to_pandas()) == 1000
+    assert len(pq.read_table(out / "knn_labels").to_pandas()) == k["n"]
