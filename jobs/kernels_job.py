@@ -16,6 +16,7 @@ metadata:
   bowtie/ (id, region)    Broder CORE/IN/OUT/TENDRIL/DISCONNECTED regions
   condense/ (src_comp, dst_comp, weight) + dag_levels/ (id, level)
                           SCC condensation DAG and its scheduling levels
+  wlp/   (id, label)      WEIGHTED label propagation (multiplicity votes)
   simrank/ (a, b, s)      truncated SimRank pairs (--simrank-iters, with a
                           disclosed --simrank-max-fanout pivot cap and
                           --simrank-min-sim state pruning)
@@ -100,6 +101,15 @@ def main(argv=None):
         lp = label_propagation(edges, max_iter=args.max_iter, checkpoint_dir=lp_ck)
         lp.write.mode("overwrite").parquet(os.path.join(args.out, "lp"))
         meta["lp_sec"] = round(time.time() - t0, 3)
+    if "wlp" in wanted:
+        # weighted LP: votes are the raw parallel-edge multiplicities
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        e_w = edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+        wlp = label_propagation(e_w, max_iter=args.max_iter, weight_col="w")
+        wlp.write.mode("overwrite").parquet(os.path.join(args.out, "wlp"))
+        meta["wlp_sec"] = round(time.time() - t0, 3)
     if "tri" in wanted:
         from engine.operators._pins import pin_scope
 
