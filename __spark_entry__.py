@@ -1705,8 +1705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_left_join_coalesce": j3_left_join_coalesce,
         "j4_salted_gather_revenue": j4_salted_gather_revenue,
         "i1b_pagerank_3iter": i1b_pagerank_3iter,
-        "g44_rank_agreement": g44_rank_agreement,
-        "g45_rank_gini": g45_rank_gini,
         "f8_semi_join": f8_semi_join,
         "j5_anti_join": j5_anti_join,
         "a6_distinct_pairs": a6_distinct_pairs,
@@ -1733,7 +1731,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_hash_split": x6_hash_split,
         "x3_langid": x3_langid,
         "m1_media_meta": m1_media_meta,
-        "m2_audio_chunk_layout": m2_audio_chunk_layout,
         "w1_event_window_agg": w1_event_window_agg,
         "w2_session_counts": w2_session_counts,
         "i2b_ppr_3iter": i2b_ppr_3iter,
@@ -1745,12 +1742,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_quality_scores": x4_quality_scores,
         "p2_dense_ids": p2_dense_ids,
         "sim1_cosine_topk": sim1_cosine_topk,
-        "sim6_knn_classify": sim6_knn_classify,
         "q1_combined_search": q1_combined_search,
         "q2_search_api": q2_search_api,
         "g1_connected_components": g1_connected_components,
         "g2_label_propagation": g2_label_propagation,
-        "g43_weighted_lp": g43_weighted_lp,
         "g6b_hits_2iter": g6b_hits_2iter,
         # p1 is key #50 — the last graded slot: flagship SURVEY §3.1
         # pipeline (reference api/build_corpus.py:268-299), rows/schema
@@ -1828,6 +1823,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_source_cap": x15_source_cap,
         "w4_asof_attribution": w4_asof_attribution,
         "w5_click_attribution": w5_click_attribution,
+        "g44_rank_agreement": g44_rank_agreement,
+        "g45_rank_gini": g45_rank_gini,
+        "m2_audio_chunk_layout": m2_audio_chunk_layout,
+        "sim6_knn_classify": sim6_knn_classify,
+        "g43_weighted_lp": g43_weighted_lp,
         "w6_segment_revenue": w6_segment_revenue,
         "d8_decontaminate_bloom": d8_decontaminate_bloom,
         "i1_pagerank": i1_pagerank,
