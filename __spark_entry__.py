@@ -532,6 +532,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = simrank(e, c=0.8, iterations=2)
         return out.select("a", "b", F.round("s", 6).alias("simrank"))
 
+    def g46_attack_tolerance(spark, sf):
+        # Albert-Jeong-Barabasi attack tolerance on the sparse bowtie
+        # subgraph: largest surviving component after removing the top-20
+        # hubs vs 20 md5-random nodes (both selections deterministic).
+        # Oracle: two recursive-CTE closures over the filtered graphs.
+        # Post-window: check_contract-validated.
+        from engine.operators.resilience import attack_tolerance
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return attack_tolerance(e, k_remove=20)
+
     def g19_ktruss_3round(spark, sf):
         # k-truss peeling (k=12: every edge needs >= 10 supporting
         # triangles) pinned to exactly 3 rounds — at sf0.01 each round
@@ -1828,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_audio_chunk_layout": m2_audio_chunk_layout,
         "sim6_knn_classify": sim6_knn_classify,
         "g43_weighted_lp": g43_weighted_lp,
+        "g46_attack_tolerance": g46_attack_tolerance,
         "w6_segment_revenue": w6_segment_revenue,
         "d8_decontaminate_bloom": d8_decontaminate_bloom,
         "i1_pagerank": i1_pagerank,
@@ -3390,6 +3406,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(e_k AS BIGINT) AS e_k,
                    round(2.0 * e_k / (n_k * (n_k - 1)), 6) AS rich_club
             FROM suf WHERE n_k >= 2
+        """,
+        # attack tolerance: two recursive closures over hub-removed and
+        # random-removed survivor graphs (mirrors resilience.py)
+        "g46_attack_tolerance": """
+            WITH RECURSIVE e0 AS (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e0 WHERE src <> dst
+            ),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id
+            ),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+            hub AS (SELECT id FROM deg ORDER BY deg DESC, id ASC LIMIT 20),
+            rnd AS (SELECT id FROM deg
+                    ORDER BY md5(id::VARCHAR || 'attack'), id LIMIT 20),
+            kh AS (
+                SELECT a, b FROM und
+                WHERE a NOT IN (SELECT id FROM hub)
+                  AND b NOT IN (SELECT id FROM hub)
+            ),
+            symh AS (SELECT a AS u, b AS v FROM kh UNION SELECT b, a FROM kh),
+            nh AS (SELECT DISTINCT u AS id FROM symh),
+            reachh(id, r) AS (
+                SELECT id, id FROM nh
+                UNION
+                SELECT re.id, s.v FROM reachh re JOIN symh s ON s.u = re.r
+            ),
+            cch AS (SELECT id, min(r) AS lab FROM reachh GROUP BY id),
+            lh AS (SELECT coalesce(max(cnt), 1) AS m FROM (
+                SELECT lab, count(*) AS cnt FROM cch GROUP BY lab)),
+            kr AS (
+                SELECT a, b FROM und
+                WHERE a NOT IN (SELECT id FROM rnd)
+                  AND b NOT IN (SELECT id FROM rnd)
+            ),
+            symr AS (SELECT a AS u, b AS v FROM kr UNION SELECT b, a FROM kr),
+            nr AS (SELECT DISTINCT u AS id FROM symr),
+            reachr(id, r) AS (
+                SELECT id, id FROM nr
+                UNION
+                SELECT re.id, s.v FROM reachr re JOIN symr s ON s.u = re.r
+            ),
+            ccr AS (SELECT id, min(r) AS lab FROM reachr GROUP BY id),
+            lr AS (SELECT coalesce(max(cnt), 1) AS m FROM (
+                SELECT lab, count(*) AS cnt FROM ccr GROUP BY lab))
+            SELECT 'hubs' AS scenario, CAST(20 AS BIGINT) AS removed,
+                   (SELECT n FROM nt) - 20 AS nodes_left,
+                   CAST((SELECT m FROM lh) AS BIGINT) AS largest_cc,
+                   round(CAST((SELECT m FROM lh) AS DOUBLE)
+                         / ((SELECT n FROM nt) - 20), 6) AS frac
+            UNION ALL
+            SELECT 'random', CAST(20 AS BIGINT),
+                   (SELECT n FROM nt) - 20,
+                   CAST((SELECT m FROM lr) AS BIGINT),
+                   round(CAST((SELECT m FROM lr) AS DOUBLE)
+                         / ((SELECT n FROM nt) - 20), 6)
         """,
         # SimRank, 2 truncated rounds on the sparse bowtie subgraph.
         # Float policy mirrors engine/operators/simrank.py exactly:

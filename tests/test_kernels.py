@@ -2776,3 +2776,28 @@ def test_score_gini_known_distributions(spark):
     want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sx) - (n + 1) / n
     r = score_gini(df, val="s").collect()[0]
     assert abs(r.gini - round(want, 6)) < 1e-9
+
+
+def test_attack_tolerance_hub_vs_random(spark):
+    import hashlib
+
+    from engine.operators.resilience import attack_tolerance
+
+    # star: hub 0 — {1..10}; separate 5-cycle {20..24}. Removing the one
+    # hub shatters the star (largest = the cycle, 5); removing one random
+    # node leaves either the 10-node star-rest or most of the graph.
+    edges = [(0, i) for i in range(1, 11)] + [(20 + i, 20 + (i + 1) % 5) for i in range(5)]
+    out = {r.scenario: r for r in attack_tolerance(_edges_df(spark, edges), k_remove=1).collect()}
+    h = out["hubs"]
+    assert (h.removed, h.nodes_left, h.largest_cc) == (1, 15, 5)
+    assert abs(h.frac - round(5 / 15, 6)) < 1e-9
+    r = out["random"]
+    ids = list(range(0, 11)) + list(range(20, 25))
+    rnd = min(ids, key=lambda i: (hashlib.md5(f"{i}attack".encode()).hexdigest(), i))
+    if rnd == 0:
+        want_largest = 5
+    elif rnd in range(1, 11):
+        want_largest = 10  # star minus one leaf
+    else:
+        want_largest = 11  # whole star survives
+    assert (r.removed, r.nodes_left, r.largest_cc) == (1, 15, want_largest)
