@@ -499,6 +499,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return label_propagation(e_w, max_iter=10, weight_col="w")
 
+    def g47_louvain_2round(spark, sf):
+        # synchronous Louvain (Blondel et al. 2008; distributed variant
+        # with the Ghosh et al. 2018 singleton swap-prevention) pinned to
+        # exactly 2 gain rounds: exact DECIMAL(38,0) integer gains
+        # 2m·ki_in − k_i·Σtot(c∖i), min-community tie-break. Oracle:
+        # 2 unrolled score+argmax rounds. Post-window:
+        # check_contract-validated.
+        from engine.operators.louvain import louvain_move_rounds
+
+        return louvain_move_rounds(_edges(spark, sf), rounds=2)
+
+    def g48_louvain_condense(spark, sf):
+        # Louvain phase-2 over the same 2-round labeling: collapse each
+        # community to a super-node, (src, dst, weight) rollup with
+        # intra-community mass as self-loops — the exact input of the next
+        # level. Oracle: the g47 unroll + one weighted GROUP BY.
+        # Post-window: check_contract-validated.
+        from engine.operators.louvain import condense_graph, louvain_move_rounds
+
+        e = _edges(spark, sf)
+        return condense_graph(e, louvain_move_rounds(e, rounds=2))
+
     def g20_betweenness_3hop(spark, sf):
         # bounded-distance betweenness (batched Brandes, Brandes & Pich
         # 2007): pairs with d(s,t) <= 3 on the sparse bowtie subgraph —
@@ -1846,6 +1868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g46_attack_tolerance": g46_attack_tolerance,
         "w6_segment_revenue": w6_segment_revenue,
         "d8_decontaminate_bloom": d8_decontaminate_bloom,
+        "g47_louvain_2round": g47_louvain_2round,
+        "g48_louvain_condense": g48_louvain_condense,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -1961,6 +1985,77 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 * intra_edges / m - 1.0 * sprod / m / m, 6) AS modularity
         FROM tot, dp
     """
+    # synchronous Louvain (g47) UNROLLED to exactly 2 gain rounds: per
+    # round Σtot/csize per community, candidate ki_in per (node, neighbor
+    # community) with the own community injected at 0, exact DECIMAL(38,0)
+    # score 2m·ki_in − k_i·Σtot(c∖i), argmax by (score DESC, c ASC), a move
+    # needs score > stay and passes the singleton swap-prevention rule
+    # (engine twin: engine/operators/louvain.py)
+    louvain_parts = []
+    for r in range(1, 3):
+        louvain_parts.append(f"""tot{r} AS MATERIALIZED (
+          SELECT l.label AS c, SUM(k.k) AS tot, COUNT(*) AS csize
+          FROM lab{r - 1} l JOIN k ON k.id = l.id GROUP BY l.label
+        ), cand{r} AS MATERIALIZED (
+          SELECT u, c, MAX(ki) AS ki FROM (
+            SELECT a.u, l.label AS c, SUM(a.w) AS ki
+            FROM und a JOIN lab{r - 1} l ON l.id = a.v GROUP BY a.u, l.label
+            UNION ALL SELECT id, label, 0 FROM lab{r - 1}
+          ) GROUP BY u, c
+        ), sc{r} AS MATERIALIZED (
+          SELECT cand.u, cand.c, t.csize, l.label AS own, ot.csize AS own_size,
+                 tm.two_m * CAST(cand.ki AS DECIMAL(38,0))
+                 - CAST(ku.k AS DECIMAL(38,0))
+                   * CAST(t.tot - CASE WHEN cand.c = l.label THEN ku.k ELSE 0 END
+                          AS DECIMAL(38,0)) AS score
+          FROM cand{r} cand
+          JOIN tot{r} t ON t.c = cand.c
+          JOIN k ku ON ku.id = cand.u
+          JOIN lab{r - 1} l ON l.id = cand.u
+          JOIN tot{r} ot ON ot.c = l.label
+          CROSS JOIN tm
+        ), best{r}l AS MATERIALIZED (
+          SELECT u, c, csize, own, own_size, score,
+                 row_number() OVER (PARTITION BY u
+                     ORDER BY score DESC, c ASC) AS rn,
+                 MAX(CASE WHEN c = own THEN score END)
+                     OVER (PARTITION BY u) AS stay
+          FROM sc{r}
+        ), lab{r} AS MATERIALIZED (
+          SELECT u AS id,
+                 CASE WHEN score > stay
+                       AND NOT (own_size = 1 AND csize = 1 AND c > own)
+                      THEN c ELSE own END AS label
+          FROM best{r}l WHERE rn = 1
+        )""")
+    _louvain_with = f"""
+        WITH e AS MATERIALIZED ({_EDGES_SQL}),
+        und AS MATERIALIZED (
+          SELECT u, v, COUNT(*) AS w FROM (
+            SELECT src AS u, dst AS v FROM e WHERE src <> dst
+            UNION ALL SELECT dst, src FROM e WHERE src <> dst) GROUP BY u, v
+        ),
+        loops AS (SELECT src AS id, 2 * COUNT(*) AS lw
+                  FROM e WHERE src = dst GROUP BY src),
+        k AS MATERIALIZED (
+          SELECT COALESCE(a.id, l.id) AS id,
+                 COALESCE(a.k, 0) + COALESCE(l.lw, 0) AS k
+          FROM (SELECT u AS id, SUM(w) AS k FROM und GROUP BY u) a
+          FULL OUTER JOIN loops l ON l.id = a.id
+        ),
+        tm AS (SELECT CAST(SUM(k) AS DECIMAL(38,0)) AS two_m FROM k),
+        lab0 AS MATERIALIZED (SELECT id, id AS label FROM k),
+        {','.join(louvain_parts)}"""
+    louvain_sql = _louvain_with + "\n        SELECT id, label FROM lab2"
+    # g48: phase-2 condensation of the same 2-round labeling — weighted
+    # rollup of the RAW directed edges into label space (self-loops kept)
+    louvain_condense_sql = (
+        _louvain_with
+        + """
+        SELECT ls.label AS src, ld.label AS dst, COUNT(*) AS weight
+        FROM e JOIN lab2 ls ON ls.id = e.src JOIN lab2 ld ON ld.id = e.dst
+        GROUP BY ls.label, ld.label"""
+    )
     # k-truss peeling UNROLLED to exactly 3 rounds (k=12 → support >= 10):
     # per round, support(u,v) = |N(u) ∩ N(v)| over the current undirected
     # simple edge set (one edge ⋈ adjacency ⋈ adjacency group-count), then
@@ -3267,6 +3362,8 @@ def oracle_sql() -> dict[str, str]:
         "g27_incremental_cc": cc_closure_sql,
         "g2_label_propagation": lp_sql,
         "g43_weighted_lp": lpw_sql,
+        "g47_louvain_2round": louvain_sql,
+        "g48_louvain_condense": louvain_condense_sql,
         "g18_lp_modularity": mod_sql,
         "g19_ktruss_3round": ktruss_sql,
         # double-sweep diameter lower bound: two recursive-CTE BFS

@@ -382,3 +382,65 @@ def pagerank_weighted_numpy(edges_w, n=None, alpha=0.85, tol=1e-8, max_iter=100)
             converged = True
             break
     return r / r.sum(), it + 1, converged
+
+
+def louvain_rounds_py(edges, rounds=5, weights=None):
+    """Synchronous Louvain move rounds (exact replica of
+    engine.operators.louvain.louvain_move_rounds semantics): every node
+    simultaneously moves to the candidate community (neighbor communities
+    + its own) with the highest exact-integer gain
+    2m·ki_in(i,c) − k_i·Σtot(c∖i), ties broken by min community id, moving
+    only on a strict improvement over staying; a singleton may join another
+    singleton only when the target id is smaller (swap prevention,
+    Ghosh et al. IPDPS 2018). Self-loops count 2·w into k_i, generate no
+    candidates. Returns {id: label}."""
+    w_und = defaultdict(int)
+    loops = defaultdict(int)
+    if weights is None:
+        weights = [1] * len(edges)
+    for (u, v), w in zip(edges, weights):
+        if u == v:
+            loops[u] += w
+        else:
+            w_und[(min(u, v), max(u, v))] += w
+    adj = defaultdict(dict)
+    for (a, b), w in w_und.items():
+        adj[a][b] = w
+        adj[b][a] = w
+    k = defaultdict(int)
+    for x, nb in adj.items():
+        k[x] = sum(nb.values())
+    for x, lw in loops.items():
+        k[x] += 2 * lw
+    universe = set(k)
+    labels = {x: x for x in universe}
+    two_m = sum(k.values())
+    for _ in range(rounds):
+        tot = defaultdict(int)
+        csize = defaultdict(int)
+        for x in universe:
+            tot[labels[x]] += k[x]
+            csize[labels[x]] += 1
+        new = {}
+        moved = 0
+        for x in universe:
+            ki_in = defaultdict(int)
+            for y, w in adj[x].items():
+                ki_in[labels[y]] += w
+            cands = set(ki_in) | {labels[x]}
+            def score(c):
+                t = tot[c] - (k[x] if c == labels[x] else 0)
+                return two_m * ki_in.get(c, 0) - k[x] * t
+            best = min(cands, key=lambda c: (-score(c), c))
+            blocked = (
+                csize[labels[x]] == 1 and csize[best] == 1 and best > labels[x]
+            )
+            if score(best) > score(labels[x]) and best != labels[x] and not blocked:
+                new[x] = best
+                moved += 1
+            else:
+                new[x] = labels[x]
+        labels = new
+        if moved == 0:
+            break
+    return labels

@@ -2801,3 +2801,112 @@ def test_attack_tolerance_hub_vs_random(spark):
     else:
         want_largest = 11  # whole star survives
     assert (r.removed, r.nodes_left, r.largest_cc) == (1, 15, want_largest)
+
+
+# --- Louvain (synchronous modularity-gain rounds + condensation) -----------
+
+
+def test_louvain_rounds_vs_python_oracle(spark):
+    from engine.operators.louvain import louvain_move_rounds
+    from oracle import louvain_rounds_py
+
+    edges = _sparse_graph(n=120, m=700, seed=11)  # includes loops/parallels
+    got = {
+        r.id: r.label
+        for r in louvain_move_rounds(_edges_df(spark, edges), rounds=4).collect()
+    }
+    assert got == louvain_rounds_py(edges, rounds=4)
+
+
+def test_louvain_separates_planted_communities(spark):
+    from engine.operators.louvain import louvain_move_rounds
+
+    rng = random.Random(5)
+    edges = []
+    for block in range(3):
+        ids = range(block * 20, block * 20 + 20)
+        for _ in range(200):
+            edges.append((rng.choice(ids), rng.choice(ids)))
+    edges += [(0, 20), (20, 40)]  # two weak bridges
+    labels = {
+        r.id: r.label
+        for r in louvain_move_rounds(_edges_df(spark, edges), rounds=10).collect()
+    }
+    # every planted block must be label-pure, and blocks must not merge
+    block_labels = [{labels[i] for i in range(b * 20, b * 20 + 20)} for b in range(3)]
+    assert all(len(s) == 1 for s in block_labels)
+    assert len({next(iter(s)) for s in block_labels}) == 3
+
+
+def test_louvain_swap_prevention_breaks_symmetric_oscillation(spark):
+    from engine.operators.louvain import louvain_move_rounds
+    from oracle import louvain_rounds_py
+
+    # two triangles + bridge: fully synchronous gain moves without the
+    # singleton rule oscillate forever on this graph
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    m: dict = {}
+    got = {
+        r.id: r.label
+        for r in louvain_move_rounds(
+            _edges_df(spark, edges), rounds=6, metrics=m
+        ).collect()
+    }
+    assert got == louvain_rounds_py(edges, rounds=6)
+    assert len(set(got.values())) == 2  # one community per triangle
+    assert m["rounds"][-1]["moved"] == 0  # converged, not oscillating
+
+
+def test_louvain_weighted_and_modularity_improves(spark):
+    from engine.operators.labelprop import modularity
+    from engine.operators.louvain import louvain_move_rounds
+    from oracle import louvain_rounds_py
+    from pyspark.sql import functions as F
+
+    edges = _sparse_graph(n=80, m=400, seed=13)
+    e_w = (
+        _edges_df(spark, edges).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    )
+    got = {
+        r.id: r.label
+        for r in louvain_move_rounds(e_w, rounds=4, weight_col="w").collect()
+    }
+    pairs = sorted(set(edges))
+    mult = {p: edges.count(p) for p in pairs}
+    assert got == louvain_rounds_py(pairs, rounds=4, weights=[mult[p] for p in pairs])
+    # modularity of the Louvain labeling must beat the singleton labeling
+    df = _edges_df(spark, edges)
+    lab = spark.createDataFrame(list(got.items()), "id long, label long")
+    q_louvain = modularity(df, lab).collect()[0].modularity
+    singleton = spark.createDataFrame(
+        [(i, i) for i in got], "id long, label long"
+    )
+    q_single = modularity(df, singleton).collect()[0].modularity
+    assert q_louvain > q_single
+
+
+def test_louvain_condense_and_multilevel(spark):
+    from engine.operators.louvain import condense_graph, louvain, louvain_move_rounds
+    from pyspark.sql import functions as F
+
+    edges = _sparse_graph(n=100, m=600, seed=17)
+    df = _edges_df(spark, edges)
+    labels = louvain_move_rounds(df, rounds=3)
+    lab = {r.id: r.label for r in labels.collect()}
+    cond = {(r.src, r.dst): r.weight for r in condense_graph(df, labels).collect()}
+    # condensation is an exact weighted rollup of the raw directed edges
+    from collections import defaultdict
+
+    exp: dict = defaultdict(int)
+    for u, v in edges:
+        exp[(lab[u], lab[v])] += 1
+    assert cond == dict(exp)
+    # multi-level output maps every node and only coarsens level-1 labels:
+    # nodes sharing a level-1 community stay together at the top level
+    final = {r.id: r.label for r in louvain(df, levels=2, rounds_per_level=3).collect()}
+    assert set(final) == set(lab)
+    tops = {}
+    for i, l1 in lab.items():
+        tops.setdefault(l1, set()).add(final[i])
+    assert all(len(s) == 1 for s in tops.values())
+    assert len(set(final.values())) <= len(set(lab.values()))
