@@ -20,6 +20,8 @@ metadata:
   simrank/ (a, b, s)      truncated SimRank pairs (--simrank-iters, with a
                           disclosed --simrank-max-fanout pivot cap and
                           --simrank-min-sim state pruning)
+  louvain/ (id, label)    multi-level Louvain communities
+                          (--louvain-levels / --louvain-rounds)
 
 --edges-table reads a bucketed catalog table (engine/sources/bucketed.py,
 written by jobs/bucketize_job.py) instead of --edges: the src-clustering
@@ -52,6 +54,9 @@ def main(argv=None):
                     help="simrank: exclude pivots with out-fan above this (disclosed in kernels.json)")
     ap.add_argument("--simrank-min-sim", type=float, default=0.0,
                     help="simrank: prune carried pairs below this between rounds")
+    ap.add_argument("--louvain-levels", type=int, default=2)
+    ap.add_argument("--louvain-rounds", type=int, default=5,
+                    help="louvain: synchronous gain rounds per level")
     ap.add_argument("--max-iter", type=int, default=50)
     ap.add_argument("--checkpoint-dir", default=None, help="resume CC/LP from snapshots under DIR/cc, DIR/lp")
     ap.add_argument("--warehouse", default=None, help="with --edges-table: spark.sql.warehouse.dir")
@@ -233,6 +238,22 @@ def main(argv=None):
         meta.update({f"sr_{k}": v for k, v in sr_metrics.items()})
         meta["simrank_iterations"] = args.simrank_iters
         meta["simrank_sec"] = round(time.time() - t0, 3)
+    if "louvain" in wanted:
+        from engine.operators.louvain import louvain
+
+        t0 = time.time()
+        lv_metrics: dict = {}
+        lu = louvain(
+            edges,
+            levels=args.louvain_levels,
+            rounds_per_level=args.louvain_rounds,
+            metrics=lv_metrics,
+        )
+        lu.write.mode("overwrite").parquet(os.path.join(args.out, "louvain"))
+        meta["louvain_levels"] = [
+            lvl.get("rounds", []) for lvl in lv_metrics.get("levels", [])
+        ]
+        meta["louvain_sec"] = round(time.time() - t0, 3)
     if "densest" in wanted:
         from engine.operators.densest import densest_subgraph
 

@@ -245,7 +245,7 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
         [
             sys.executable, str(REPO / "jobs" / "kernels_job.py"),
             "--edges-table", "t_e2e_bucketed", "--out", str(out),
-            "--kernels", "kcore,coreness,scc,salsa,bowtie,condense,mis,matching,coloring,densest,simrank",
+            "--kernels", "kcore,coreness,scc,salsa,bowtie,condense,mis,matching,coloring,densest,simrank,louvain",
             "--kcore-k", "3",
             "--warehouse", str(wh), "--metastore-dir", str(tmp_path / "ms"),
             "--master", "local[8]", "--partitions", "8",
@@ -321,6 +321,20 @@ def test_bucketize_then_kernels_table_roundtrip(tmp_path):
     assert set(got_sr) == set(want_sr)
     assert all(abs(got_sr[p] - want_sr[p]) < 1e-9 for p in want_sr)
     assert meta2["simrank_iterations"] == 2
+    # louvain through the same job CLI: every node labeled, communities
+    # never split a level-1 assignment (multi-level only coarsens), and the
+    # per-level round metrics land in the manifest
+    from oracle import louvain_rounds_py
+
+    lu = pq.read_table(out / "louvain").to_pandas()
+    lumap = dict(zip(lu["id"], lu["label"]))
+    assert set(lumap) == set(und) | {u for u, v in rows} | {v for u, v in rows}
+    l1 = louvain_rounds_py(rows, rounds=5)
+    tops = {}
+    for i, c in l1.items():
+        tops.setdefault(c, set()).add(lumap[i])
+    assert all(len(s) == 1 for s in tops.values())
+    assert len(meta2["louvain_levels"]) == 2
 
 
 def test_pagerank_job_warm_start_roundtrip(tmp_path):
