@@ -1210,6 +1210,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return textstats.top_ngrams(d, "text", n=2, k=100)
 
+    def x16_bpe_pairs(spark, sf):
+        # the distributed stage of BPE tokenizer training (Sennrich et al.
+        # 2016): weighted adjacent symbol-pair counts over the corpus
+        # word-frequency dictionary (symbols = chars + '</w>' sentinel),
+        # top-50 under the total order (cnt DESC, a, b) — the round-0
+        # argmax input. The merge loop itself is exact-gated in pytest
+        # against the classic dict-based learn_bpe
+        # (tests/oracle.py:bpe_train_py). Post-window:
+        # check_contract-validated.
+        from engine.operators.bpe import initial_symbols, pair_counts, word_counts
+
+        d = _t(spark, sf, "documents")
+        pc = pair_counts(initial_symbols(word_counts(d)))
+        return pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(50)
+
     def g25_salsa_2iter(spark, sf):
         # oracle-gated SALSA (Lempel & Moran 2000): exactly 2 iterations of
         # both stochastic chains — each iteration is two degree-weighted
@@ -1870,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_decontaminate_bloom": d8_decontaminate_bloom,
         "g47_louvain_2round": g47_louvain_2round,
         "g48_louvain_condense": g48_louvain_condense,
+        "x16_bpe_pairs": x16_bpe_pairs,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -4395,6 +4411,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
             FROM grams GROUP BY ngram
             ORDER BY cnt DESC, ngram LIMIT 100
+        """,
+        # BPE round-0 pair counts: chars + '</w>' sentinel per dictionary
+        # word, weighted by corpus word frequency (engine twin: bpe.py)
+        "x16_bpe_pairs": f"""
+            WITH toks AS (
+                SELECT unnest({_TOK}) AS w FROM documents
+            ), wc AS (
+                SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+            ), pos AS (
+                SELECT w, cnt,
+                       unnest(generate_series(1, length(w))) AS i
+                FROM wc
+            ), pairs AS (
+                SELECT substr(w, i, 1) AS a,
+                       CASE WHEN i = length(w) THEN '</w>'
+                            ELSE substr(w, i + 1, 1) END AS b,
+                       cnt
+                FROM pos
+            )
+            SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM pairs GROUP BY a, b
+            ORDER BY cnt DESC, a ASC, b ASC LIMIT 50
         """,
         "x9_repetition_stats": f"""
             WITH l AS (

@@ -11,6 +11,7 @@ pipeline"), with every drop counted in the manifest (no silent drops):
       -> near dedupe         (MinHash-LSH, capped hot buckets; --near-dedupe)
       -> decontamination     (n-gram overlap vs --benchmark parquet)
       -> source cap          (keep N longest docs per host/source; --source-cap)
+      -> BPE training        (merge table + vocab artifacts; --bpe-merges)
       -> train/val/test split (leak-proof md5 hash split; engine-portable)
       -> packing layout       (GPT-style chunk ids over md5-bucketed streams)
       -> <out>/corpus parquet + <out>/manifest.json
@@ -61,6 +62,9 @@ def main(argv=None):
     ap.add_argument("--source-cap", type=int, default=0,
                     help="keep at most N docs per --source-col (C4-style domain balancing; 0 = off)")
     ap.add_argument("--source-col", default="source")
+    ap.add_argument("--bpe-merges", type=int, default=0,
+                    help="train a BPE tokenizer on the cleaned corpus: write "
+                         "<out>/bpe_merges + <out>/bpe_vocab and manifest counts")
     ap.add_argument("--max-len", type=int, default=512)
     ap.add_argument("--pack-buckets", type=int, default=64)
     ap.add_argument("--splits", default="train:0.9,val:0.05,test:0.05")
@@ -193,6 +197,23 @@ def main(argv=None):
         ).persist()
         sc_m["survivors"] = docs.count()
         manifest["source_cap"] = sc_m
+
+    # 5c. optional BPE tokenizer training on the cleaned corpus: the
+    # trained merge table + subword vocab are pipeline artifacts next to
+    # the corpus (the tokenizer must be learned AFTER hygiene so boilerplate
+    # and contamination don't shape the subword inventory)
+    if args.bpe_merges > 0:
+        from engine.operators import bpe
+
+        res = bpe.bpe_train(docs, num_merges=args.bpe_merges)
+        res.merges.write.mode("overwrite").parquet(
+            os.path.join(args.out, "bpe_merges")
+        )
+        res.vocab.write.mode("overwrite").parquet(os.path.join(args.out, "bpe_vocab"))
+        manifest["bpe"] = {
+            "merges_learned": res.merges.count(),
+            "vocab_size": res.vocab.count(),
+        }
 
     # 6. leak-proof split + 7. packing layout (assignment-only stages)
     splits = {}

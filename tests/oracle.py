@@ -444,3 +444,48 @@ def louvain_rounds_py(edges, rounds=5, weights=None):
         if moved == 0:
             break
     return labels
+
+
+def bpe_train_py(texts, num_merges=100):
+    """Classic dict-based learn_bpe (Sennrich et al. 2016), exact replica
+    of engine.operators.bpe.bpe_train semantics: words from the reference
+    tokenizer (lowercase \\w+ runs), symbols = chars + '</w>', per round
+    the (count DESC, pair ASC) argmax merged greedily left-to-right,
+    stopping when the best pair count < 2. Returns (merges, vocab) with
+    merges = [(left, right, count)] and vocab = {token: weighted count}."""
+    import re
+
+    wc = Counter()
+    for t in texts:
+        wc.update(re.findall(r"\w+", t.lower(), re.UNICODE))
+    words = {w: tuple(w) + ("</w>",) for w in wc}
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        new_words = {}
+        for w, syms in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    vocab = Counter()
+    for w, syms in words.items():
+        for s in syms:
+            vocab[s] += wc[w]
+    return merges, dict(vocab)

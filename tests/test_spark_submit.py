@@ -404,6 +404,7 @@ def test_corpus_hygiene_job_end_to_end(tmp_path):
             sys.executable, str(REPO / "jobs" / "corpus_job.py"),
             "--gen-docs", "1000", "--gen-boiler", "100", "--seed", "42",
             "--near-dedupe", "--benchmark", str(bench_dir),
+            "--bpe-merges", "20",
             "--out", str(out), "--master", "local[8]", "--partitions", "8",
         ],
         capture_output=True, text=True, timeout=600, env=env,
@@ -425,6 +426,16 @@ def test_corpus_hygiene_job_end_to_end(tmp_path):
     assert m["final_docs"] == d["clean"]
     assert sum(m["splits"].values()) == m["final_docs"]
     assert m["packed_chunks"] > 0 and m["total_tokens"] > 0
+    # BPE tokenizer artifacts: ranked merge table + subword vocab next to
+    # the corpus, counts in the manifest (exact merge semantics are gated
+    # by tests/oracle.py:bpe_train_py elsewhere)
+    assert 0 < m["bpe"]["merges_learned"] <= 20
+    assert m["bpe"]["vocab_size"] > 0
+    import pyarrow.parquet as _pq
+
+    mg = _pq.read_table(out / "bpe_merges").to_pandas().sort_values("rank")
+    assert list(mg["rank"]) == list(range(m["bpe"]["merges_learned"]))
+    assert (mg["pair_count"] >= 2).all()
 
     import duckdb
 

@@ -711,3 +711,82 @@ def test_sample_frames_one_to_many_plumbing(spark):
     # default decoder fails loudly, not silently
     with _pytest.raises(Exception, match="NotImplementedError|video codec"):
         sample_frames(df, every_ms=30).collect()
+
+
+# --- BPE tokenizer training (Sennrich et al. 2016) --------------------------
+
+
+def test_bpe_train_matches_classic_learn_bpe(spark):
+    from engine.operators.bpe import bpe_train
+    from oracle import bpe_train_py
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the theme of the thesis is the theory",
+        "aaaa aaa aa banana bandana",  # overlap-greedy + repeated chars
+        "low lower lowest newer newest wider widest",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    res = bpe_train(docs, num_merges=25)
+    got = [
+        (r.left, r.right, r.pair_count) for r in res.merges.orderBy("rank").collect()
+    ]
+    exp_merges, exp_vocab = bpe_train_py(texts, num_merges=25)
+    assert got == exp_merges
+    assert {r.token: r.cnt for r in res.vocab.collect()} == exp_vocab
+
+
+def test_bpe_early_stop_when_nothing_repeats(spark):
+    from engine.operators.bpe import bpe_train
+
+    # every adjacent pair unique -> best count == 1 -> zero merges learned
+    docs = spark.createDataFrame([(0, "abc xyz")], "doc_id long, text string")
+    res = bpe_train(docs, num_merges=10)
+    assert res.merges.count() == 0
+    # vocab is then the raw character (+sentinel) distribution
+    vocab = {r.token: r.cnt for r in res.vocab.collect()}
+    assert vocab["</w>"] == 2 and vocab["a"] == 1
+
+
+def test_bpe_segment_matches_trained_dictionary(spark):
+    import re
+
+    from engine.operators.bpe import bpe_segment, bpe_train
+
+    texts = [
+        "the theme of the thesis is the theory",
+        "low lower lowest newer newest",
+    ] * 4
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    res = bpe_train(docs, num_merges=15)
+    merges = [(r.left, r.right) for r in res.merges.orderBy("rank").collect()]
+    train_words = {r.word: list(r.syms) for r in res.words.collect()}
+    # applying the learned merge list to the training docs reproduces the
+    # trained word segmentation exactly, word by word (checkpoint_every
+    # below the merge count to exercise the plan compaction)
+    out = bpe_segment(docs.limit(3), merges, checkpoint_every=4)
+    for row in out.collect():
+        toks = list(row.tokens)
+        i = 0
+        for w in re.findall(r"\w+", row.text.lower(), re.UNICODE):
+            n = len(train_words[w])
+            assert toks[i : i + n] == train_words[w]
+            i += n
+        assert i == len(toks)
+
+
+def test_bpe_train_no_python_udf(spark):
+    from engine.operators.bpe import initial_symbols, pair_counts, word_counts
+
+    docs = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
+    plan = (
+        pair_counts(initial_symbols(word_counts(docs)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan  # pure Catalyst, no Python boundary
