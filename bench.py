@@ -148,6 +148,19 @@ def main():
     bp_docs.unpersist()
     extra["minhash_boilerplate_metrics"] = bp_metrics
 
+    # r4 additions: Louvain community rounds on the edge graph and BPE
+    # tokenizer training on the documents corpus
+    from engine.operators.bpe import bpe_train
+    from engine.operators.louvain import louvain_move_rounds
+
+    timed("louvain_4round", lambda: louvain_move_rounds(edges, rounds=4).count())
+
+    def _bpe():
+        res = bpe_train(docs, num_merges=20)
+        extra["bpe_vocab_size"] = res.vocab.count()
+
+    timed("bpe_train_20", _bpe)
+
     edges.unpersist()
     extra["trials"] = trials
     # first-trial total: directly comparable to the single-shot protocol of
