@@ -416,3 +416,40 @@ def test_line_dedupe_shuffles_hash_keys_not_text(spark):
 
     for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "_line" not in args, f"raw line text in a shuffle key: {args}"
+
+
+def test_louvain_round_pure_jvm_no_cartesian(spark):
+    """One Louvain gain round stays JVM-side (exact DECIMAL gains, no
+    Python boundary) and the only nested-loop join is the broadcast of the
+    1-row 2m aggregate — never a data-scale CartesianProduct."""
+    from engine.operators.louvain import louvain_move_rounds
+
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 5) % 23) for i in range(120)], "src long, dst long"
+    )
+    out = louvain_move_rounds(edges, rounds=1)
+    assert not pi.has_python_eval(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_merge_round_pure_jvm(spark):
+    """The BPE dictionary rewrite (aggregate fold) and pair counting are
+    pure Catalyst — no Python boundary anywhere in a training round."""
+    from engine.operators.bpe import (
+        bpe_train,
+        initial_symbols,
+        merge_pair_col,
+        pair_counts,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab abba"), (1, "ba ab")], "doc_id long, text string"
+    )
+    words = initial_symbols(word_counts(docs))
+    rewritten = words.select(
+        merge_pair_col(F.col("syms"), F.lit("a"), F.lit("b")).alias("syms")
+    )
+    assert not pi.has_python_eval(pair_counts(words))
+    assert not pi.has_python_eval(rewritten)
