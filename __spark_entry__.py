@@ -1152,6 +1152,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = datagen.generate_pages_df(spark, 300, seed=42, partitions=4)
         return graph.anchor_text_index(pages, base_domain=datagen.BASE_DOMAIN)
 
+    def p11_boilerplate_blocks(spark, sf):
+        # content-based boilerplate classification (jusText-style block
+        # labels) over the same synthetic pages table — the audit-trail
+        # per-block view (rows-only like p1/p4: the Arrow-UDF mini-DOM
+        # segmentation has no portable SQL; label semantics exact-gated in
+        # tests/test_extraction.py)
+        from engine import datagen
+        from engine.operators.boilerplate import page_blocks
+
+        pages = datagen.generate_pages_df(spark, 300, seed=42, partitions=4)
+        return page_blocks(pages)
+
     def g22_snapshot_diff(spark, sf):
         # crawl snapshot delta: two overlapping edge snapshots derived from
         # lineitem (l_linenumber bands model two monthly crawls of the same
@@ -1896,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim4_ivf_ann_topk": sim4_ivf_ann_topk,
         "x5_fingerprint_rolling": x5_fingerprint_rolling,
         "p4_anchor_index": p4_anchor_index,
+        "p11_boilerplate_blocks": p11_boilerplate_blocks,
     }
 
 

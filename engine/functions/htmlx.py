@@ -286,3 +286,78 @@ def detect_page_language(html):
     lang = lang.split(",")[0]
     lang = lang.split("-")[0]
     return lang or None
+
+
+# --- jusText-style block segmentation (boilerplate classification input) ----
+
+# block-level tags: entering one starts a new text block (jusText §3.1
+# segments on block-level boundaries; this is the HTML4/5 block set the
+# mini-DOM can see without CSS)
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li dt dd td th pre blockquote article section "
+    "aside header footer nav main table ul ol tr figure figcaption body".split()
+)
+
+
+def extract_blocks(html) -> list:
+    """Segment a page into jusText-style text blocks (Pomikálek 2011 §3.1):
+    contiguous visible-text runs split at block-level tag boundaries, each
+    with its link-anchored character share. Only the NON-CONTENT tags are
+    removed first (script/style/form... — extract_text's step 1); the
+    reference's boilerplate CONTAINERS (header/footer/nav/...) are kept,
+    because classifying their content is the block classifier's job —
+    this is the content-based alternative to the reference's selector
+    list (crawler/core.py:112-134).
+
+    Returns [{'tag', 'text', 'n_chars', 'link_chars'}, ...] in document
+    order; 'text' uses extract_text's whitespace-collapse token semantics,
+    'n_chars'/'link_chars' count token characters (total / inside <a>).
+    """
+    root = parse_html(html)
+    for el in _iter_elements(root):
+        if el.tag in _REMOVE_TAGS:
+            el.removed = True
+
+    blocks: list = []
+    state = {"tokens": [], "chars": 0, "link": 0, "tag": "body"}
+
+    def flush():
+        if state["tokens"]:
+            blocks.append(
+                {
+                    "tag": state["tag"],
+                    "text": " ".join(state["tokens"]),
+                    "n_chars": state["chars"],
+                    "link_chars": state["link"],
+                }
+            )
+        state["tokens"] = []
+        state["chars"] = 0
+        state["link"] = 0
+
+    def walk(el, in_link):
+        for node in el.children:
+            if isinstance(node, Element):
+                if node.removed:
+                    continue
+                if node.tag in _BLOCK_TAGS:
+                    flush()
+                    prev_tag = state["tag"]
+                    state["tag"] = node.tag
+                    walk(node, in_link)
+                    flush()
+                    state["tag"] = prev_tag
+                else:
+                    walk(node, in_link or node.tag == "a")
+            else:
+                toks = node.split()
+                if toks:
+                    n = sum(len(t) for t in toks)
+                    state["tokens"].extend(toks)
+                    state["chars"] += n
+                    if in_link:
+                        state["link"] += n
+
+    walk(root, False)
+    flush()
+    return blocks

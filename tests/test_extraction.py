@@ -156,3 +156,95 @@ def test_anchor_text_index_spark(spark):
     }
     assert (t, "great") in restricted
     assert not any(d == "https://other.net/x" for d, _ in restricted)
+
+
+# --- jusText-style boilerplate blocks (engine/operators/boilerplate.py) -----
+
+_BP_HTML = """
+<html><body>
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+<h1>The Article Title</h1>
+<p>This is the first paragraph of the article and it was written for the
+test with plenty of the usual English words that appear in this kind of
+writing, so that it reads as normal prose for the classifier, and it keeps
+going for a while because real article paragraphs are longer than the
+two hundred character threshold that the length band uses.</p>
+<div>photo: a cat</div>
+<p>The second paragraph is also long enough to matter and it continues in
+the same style as the first one, with the words that it needs for the
+stopword density to look like real text on this page, and it too runs past
+the length threshold that separates the good band from the near-good band.</p>
+<footer>Copyright 2026 <a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+</body></html>
+"""
+
+
+def test_extract_blocks_segments_and_counts():
+    blocks = htmlx.extract_blocks(_BP_HTML)
+    assert [b["tag"] for b in blocks] == ["nav", "h1", "p", "div", "p", "footer"]
+    nav = blocks[0]
+    # nav text is entirely inside anchors
+    assert nav["text"] == "Home About Contact"
+    assert nav["link_chars"] == nav["n_chars"] == len("HomeAboutContact")
+    foot = blocks[-1]
+    assert foot["link_chars"] == len("TermsPrivacy")
+    # token-char accounting: no spaces counted
+    assert foot["n_chars"] == len("Copyright2026TermsPrivacy")
+    # whitespace-collapse matches extract_text token semantics
+    assert all("  " not in b["text"] and b["text"] == b["text"].strip() for b in blocks)
+
+
+def test_classify_blocks_justext_labels():
+    from engine.operators.boilerplate import classify_blocks
+
+    labels = [
+        (b["tag"], lab) for b, _, _, lab in classify_blocks(htmlx.extract_blocks(_BP_HTML))
+    ]
+    assert labels == [
+        ("nav", "bad"),       # pure link list
+        ("h1", "good"),       # heading promotion: introduces good content
+        ("p", "good"),        # long, stopword-rich
+        ("div", "good"),      # short caption surrounded by good
+        ("p", "good"),
+        ("footer", "bad"),    # copyright + links
+    ]
+    # without good context the same short caption is boilerplate
+    only_caption = "<html><body><div>photo: a cat</div></body></html>"
+    (_, _, _, lab), = classify_blocks(htmlx.extract_blocks(only_caption))
+    assert lab == "bad"
+
+
+def test_clean_text_map_only_and_content(spark):
+    from engine.operators.boilerplate import clean_text, page_blocks
+    from engine.plans import inspect as pi
+
+    pages = spark.createDataFrame(
+        [("http://e.org/x", _BP_HTML), ("http://e.org/empty", None)],
+        "url string, html string",
+    )
+    ct = clean_text(pages)
+    assert pi.count_exchanges(ct, live_only=True) == 0  # map-only
+    plan = ct._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    rows = {r.url: r.content for r in ct.collect()}
+    assert rows["http://e.org/empty"] == ""
+    content = rows["http://e.org/x"]
+    assert content.startswith("The Article Title This is the first paragraph")
+    assert "Home About" not in content and "Copyright" not in content
+    # per-block audit view agrees with the joined content
+    pb = page_blocks(pages).orderBy("url", "block_idx").collect()
+    good = " ".join(r.text for r in pb if r.label == "good")
+    assert good == content
+
+
+def test_boilerplate_on_generated_pages(spark):
+    """Over the synthetic crawl pages: classification runs Arrow-batched at
+    table scale, labels are exhaustive, and nav/footer chrome never
+    survives into the cleaned content."""
+    from engine.operators.boilerplate import page_blocks
+
+    pages = datagen.generate_pages_df(spark, 60, seed=SEED, partitions=4)
+    pb = page_blocks(pages).persist()
+    assert pb.where("label NOT IN ('good','bad')").count() == 0
+    assert pb.count() > 0
+    pb.unpersist()
