@@ -1237,6 +1237,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pc = pair_counts(initial_symbols(word_counts(d)))
         return pc.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(50)
 
+    def x17_bpe_merge_round(spark, sf):
+        # one FULL BPE training round oracle-gated end-to-end: the round-0
+        # argmax pair (total order cnt DESC, a, b) is merged into every
+        # dictionary word by the Catalyst aggregate fold (greedy
+        # left-to-right non-overlap), and the round-1 pair counts come
+        # back (top-50). The argmax is crossJoin-broadcast — no driver
+        # value in the plan. Oracle: the identical fold as a DuckDB
+        # list_reduce string accumulator (last-token match/replace).
+        # Post-window: check_contract-validated.
+        from engine.operators.bpe import (
+            initial_symbols,
+            merge_pair_col,
+            pair_counts,
+            word_counts,
+        )
+
+        d = _t(spark, sf, "documents")
+        words = initial_symbols(word_counts(d))
+        best = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.col("a").alias("_l"), F.col("b").alias("_r"))
+        )
+        merged = words.crossJoin(F.broadcast(best)).select(
+            "cnt",
+            merge_pair_col(F.col("syms"), F.col("_l"), F.col("_r")).alias("syms"),
+        )
+        return pair_counts(merged).orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(50)
+
     def g25_salsa_2iter(spark, sf):
         # oracle-gated SALSA (Lempel & Moran 2000): exactly 2 iterations of
         # both stochastic chains — each iteration is two degree-weighted
@@ -1898,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g47_louvain_2round": g47_louvain_2round,
         "g48_louvain_condense": g48_louvain_condense,
         "x16_bpe_pairs": x16_bpe_pairs,
+        "x17_bpe_merge_round": x17_bpe_merge_round,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -4446,6 +4479,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS cnt
             FROM pairs GROUP BY a, b
             ORDER BY cnt DESC, a ASC, b ASC LIMIT 50
+        """,
+        # one full BPE round: round-0 argmax merged into every word via a
+        # list_reduce string-accumulator fold (last-token match/replace —
+        # the same greedy left-to-right non-overlap as the Catalyst
+        # aggregate fold; tokens never contain spaces), then round-1 pairs
+        "x17_bpe_merge_round": f"""
+            WITH toks AS (
+                SELECT unnest({_TOK}) AS w FROM documents
+            ), wc AS (
+                SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+            ), syms0 AS (
+                SELECT w, cnt,
+                       list_append(list_transform(generate_series(1, length(w)),
+                                                  i -> substr(w, i, 1)),
+                                   '</w>') AS s
+                FROM wc
+            ), pairs0 AS (
+                SELECT p.a AS a, p.b AS b, SUM(cnt) AS cnt FROM (
+                    SELECT cnt,
+                           unnest(list_transform(generate_series(1, len(s) - 1),
+                                  i -> {{'a': s[i], 'b': s[i + 1]}})) AS p
+                    FROM syms0 WHERE len(s) >= 2) GROUP BY p.a, p.b
+            ), best0 AS (
+                SELECT a, b FROM pairs0 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+            ), folded AS (
+                SELECT sy.cnt,
+                       string_split(list_reduce(s, (acc, x) ->
+                           CASE WHEN regexp_extract(acc, '([^ ]*)$', 1) = best0.a
+                                     AND x = best0.b
+                                THEN regexp_replace(acc, '([^ ]*)$', '')
+                                     || best0.a || best0.b
+                                ELSE acc || ' ' || x END), ' ') AS s
+                FROM syms0 sy CROSS JOIN best0
+            ), pairs1 AS (
+                SELECT p.a AS a, p.b AS b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+                    SELECT cnt,
+                           unnest(list_transform(generate_series(1, len(s) - 1),
+                                  i -> {{'a': s[i], 'b': s[i + 1]}})) AS p
+                    FROM folded WHERE len(s) >= 2) GROUP BY p.a, p.b
+            )
+            SELECT a, b, cnt FROM pairs1 ORDER BY cnt DESC, a ASC, b ASC LIMIT 50
         """,
         "x9_repetition_stats": f"""
             WITH l AS (
