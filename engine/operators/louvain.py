@@ -32,10 +32,12 @@ therefore Σtot and 2m) but generates no candidate rows — at level 1 a
 crawl graph has none, at level 2+ they carry the collapsed intra-community
 mass.
 
-Spark shape per round: one labels⨝adjacency join + a map-side-combinable
-groupBy (the PageRank gather shape), one O(communities) Σtot aggregate,
-one row_number-free max_by argmax, labels localCheckpoint'ed per round
-(the iterative-kernel lineage pattern).
+Spark shape per round: one labels⨝adjacency gather + a
+map-side-combinable groupBy (the PageRank gather shape — exchange-free
+in broadcast mode, where the label vector is broadcast into the
+u-partitioned cached adjacency; label-vector-only shuffle otherwise),
+one O(communities) Σtot aggregate, one max_by argmax, labels
+localCheckpoint'ed per round (the iterative-kernel lineage pattern).
 """
 
 from __future__ import annotations
@@ -64,6 +66,7 @@ def louvain_move_rounds(
     weight_col: str | None = None,
     labels: DataFrame | None = None,
     num_partitions: int | None = None,
+    broadcast_labels: bool | None = None,
     metrics: dict | None = None,
 ) -> DataFrame:
     """Synchronous Louvain phase-1: `rounds` simultaneous gain-move rounds.
@@ -74,7 +77,17 @@ def louvain_move_rounds(
     (early-exits when a round moves nothing). Deterministic: exact integer
     gains, ties broken by the minimum community id, a node only moves on a
     strictly positive improvement over its current placement.
+
+    broadcast_labels: True → the (small) label vector and per-node /
+    per-community stat frames are broadcast into the u-partitioned cached
+    adjacency, so the edge-sized gather (join + groupBy(u, community))
+    runs in one exchange-free stage — the labelprop/pagerank broadcast
+    strategy. False → shuffle join on v (the 100 TB path: only the label
+    vector shuffles; the cached adjacency is never re-exchanged). None →
+    auto by node count (pagerank.BROADCAST_NODE_LIMIT).
     """
+    from engine.operators.pagerank import BROADCAST_NODE_LIMIT
+
     spark = edges.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -82,7 +95,7 @@ def louvain_move_rounds(
     loops = adj.filter(F.col("u") == F.col("v")).select(
         F.col("u").alias("id"), (2 * F.col("w")).alias("lw")
     )
-    adj = adj.filter(F.col("u") != F.col("v")).repartition(P, "v").persist()
+    adj = adj.filter(F.col("u") != F.col("v"))
 
     # weighted degree: Σ_{j≠i} w(i,j) + 2·w(i,i)   (Louvain convention)
     k = (
@@ -96,7 +109,16 @@ def louvain_move_rounds(
         .repartition(P, "id")
         .persist()
     )
+    n = k.count()
+    if broadcast_labels is None:
+        broadcast_labels = n <= BROADCAST_NODE_LIMIT
+    # broadcast mode: partition by u so the gather's join + groupBy(u, c)
+    # chain needs no exchange; shuffle mode: by the join key v
+    adj = adj.repartition(P, "u" if broadcast_labels else "v").persist()
     two_m = k.agg(F.sum("k").cast(_DEC).alias("two_m"))  # lazy 1-row broadcast
+
+    def _b(df):
+        return F.broadcast(df) if broadcast_labels else df
 
     if labels is None:
         labels = k.select("id", F.col("id").alias("label"))
@@ -106,37 +128,47 @@ def louvain_move_rounds(
 
     for r in range(rounds):
         lv = labels.select(F.col("id").alias("v"), F.col("label").alias("c"))
-        # ki_in per (node, neighboring community); own community enters the
-        # candidate set with ki_in = 0 via the union (max() folds the two
-        # rows together when the own community also neighbors i)
-        cand = (
-            adj.join(lv, "v")
-            .groupBy("u", "c")
-            .agg(F.sum("w").alias("ki"))
-            .union(labels.select(F.col("id").alias("u"), F.col("label").alias("c"), F.lit(0)))
-            .groupBy("u", "c")
-            .agg(F.max("ki").alias("ki"))
-        )
+        # the edge-sized gather: ki_in per (node, NEIGHBOR community); the
+        # own community's stay score is reconstructed below, so no
+        # edge-sized union/regroup is needed
+        cand = adj.join(_b(lv), "v").groupBy("u", "c").agg(F.sum("w").alias("ki"))
         sig = (
-            labels.join(k, "id")
+            labels.join(k, "id", "left")
             .groupBy("label")
-            .agg(F.sum("k").alias("tot"), F.count(F.lit(1)).alias("csize"))
+            .agg(
+                F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("tot"),
+                F.count(F.lit(1)).alias("csize"),
+            )
             .withColumnRenamed("label", "c")
         )
-        own = labels.select(F.col("id").alias("u"), F.col("label").alias("own")).join(
-            sig.select(F.col("c").alias("own"), F.col("csize").alias("own_size")), "own"
+        # per-node frame: own community, its Σtot/size, own degree
+        ownst = (
+            labels.select("id", F.col("label").alias("own"))
+            .join(
+                sig.select(
+                    F.col("c").alias("own"),
+                    F.col("tot").alias("own_tot"),
+                    F.col("csize").alias("own_size"),
+                ),
+                "own",
+            )
+            .join(k.select("id", F.col("k").alias("ku")), "id", "left")
+            .select(
+                F.col("id").alias("u"),
+                "own",
+                "own_tot",
+                "own_size",
+                F.coalesce(F.col("ku"), F.lit(0)).alias("ku"),
+            )
         )
-        ku = k.select(F.col("id").alias("u"), F.col("k").alias("ku"))
         scored = (
-            cand.join(sig, "c")
-            .join(ku, "u")
-            .join(own, "u")
+            cand.join(_b(sig), "c")
+            .join(_b(ownst), "u")
             .crossJoin(F.broadcast(two_m))
             .select(
                 "u",
                 "c",
                 "own",
-                "own_size",
                 "csize",
                 (
                     F.col("two_m") * F.col("ki").cast(_DEC)
@@ -148,27 +180,36 @@ def louvain_move_rounds(
                 ).alias("score"),
             )
         )
-        # argmax: score DESC then community ASC; a move needs a strictly
-        # better score than staying put (own row always present, ki >= 0).
-        # Swap prevention (Ghosh et al., IPDPS 2018): under fully synchronous
-        # updates two adjacent singletons can pick each other and oscillate
-        # forever, so a singleton may join another SINGLETON only when the
-        # target community id is smaller — deterministic, and the only case
-        # it gates is the symmetric 2-cycle.
+        # argmax: score DESC then community ASC. A move needs a strictly
+        # better score than staying; when the own community is not among
+        # the neighbor communities its stay score is reconstructed as
+        # −k_u·(Σtot(own)−k_u) (ki_in = 0). Swap prevention (Ghosh et al.,
+        # IPDPS 2018): under fully synchronous updates two adjacent
+        # singletons can pick each other and oscillate forever, so a
+        # singleton may join another SINGLETON only when the target
+        # community id is smaller — deterministic, and the only case it
+        # gates is the symmetric 2-cycle.
         best = scored.groupBy("u").agg(
             F.max_by(
                 F.struct(F.col("c"), F.col("score"), F.col("csize")),
                 F.struct(F.col("score"), -F.col("c")),
             ).alias("b"),
-            F.max(F.when(F.col("c") == F.col("own"), F.col("score"))).alias("stay"),
-            F.first("own").alias("own"),
-            F.first("own_size").alias("own_size"),
+            F.max(F.when(F.col("c") == F.col("own"), F.col("score"))).alias("stay_in"),
         )
-        nxt = (
-            best.select(
+        moved_frame = (
+            ownst.join(best, "u", "left")
+            .select(
                 F.col("u").alias("id"),
+                "own",
                 F.when(
-                    (F.col("b.score") > F.col("stay"))
+                    (
+                        F.col("b.score")
+                        > F.coalesce(
+                            F.col("stay_in"),
+                            -F.col("ku").cast(_DEC)
+                            * (F.col("own_tot") - F.col("ku")).cast(_DEC),
+                        )
+                    )
                     & ~(
                         (F.col("own_size") == 1)
                         & (F.col("b.csize") == 1)
@@ -179,13 +220,10 @@ def louvain_move_rounds(
                 .otherwise(F.lit(None))
                 .alias("new_label"),
             )
-        )
-        moved_frame = (
-            labels.join(nxt, "id", "left")
             .select(
                 "id",
-                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
-                (F.col("new_label").isNotNull() & (F.col("new_label") != F.col("label")))
+                F.coalesce(F.col("new_label"), F.col("own")).alias("label"),
+                (F.col("new_label").isNotNull() & (F.col("new_label") != F.col("own")))
                 .cast("int")
                 .alias("_moved"),
             )

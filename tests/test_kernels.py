@@ -2910,3 +2910,14 @@ def test_louvain_condense_and_multilevel(spark):
         tops.setdefault(l1, set()).add(final[i])
     assert all(len(s) == 1 for s in tops.values())
     assert len(set(final.values())) <= len(set(lab.values()))
+
+
+def test_louvain_broadcast_and_shuffle_gather_agree(spark):
+    from engine.operators.louvain import louvain_move_rounds
+    from oracle import louvain_rounds_py
+
+    edges = _sparse_graph(n=90, m=500, seed=23)
+    df = _edges_df(spark, edges)
+    bc = {r.id: r.label for r in louvain_move_rounds(df, rounds=4, broadcast_labels=True).collect()}
+    sh = {r.id: r.label for r in louvain_move_rounds(df, rounds=4, broadcast_labels=False).collect()}
+    assert bc == sh == louvain_rounds_py(edges, rounds=4)
