@@ -1164,6 +1164,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = datagen.generate_pages_df(spark, 300, seed=42, partitions=4)
         return page_blocks(pages)
 
+    def g49_square_count(spark, sf):
+        # exact 4-cycle count + bipartite-core candidate pairs (Kumar et
+        # al. WWW 1999 trawling signal) on the sparse bowtie subgraph (the
+        # g24 slice — wedge-quadratic ops run there), uncapped = exact.
+        # Oracle: the same wedge self-join + Σ C(w,2)/2 identity in SQL.
+        # Post-window: check_contract-validated.
+        from engine.operators.triangles import square_count
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        return square_count(e)
+
+    def a19_knn_degree(spark, sf):
+        # degree-correlation curve k_nn(k) (Pastor-Satorras et al. 2001 —
+        # the companion to a17's assortativity coefficient): per degree
+        # class, the mean over nodes of the mean neighbor degree; per-node
+        # means rounded to 9 dp and decimal-summed (linkpred float
+        # policy). Oracle: identical arithmetic in SQL. Post-window:
+        # check_contract-validated.
+        from engine.operators.graph import avg_neighbor_degree
+
+        return avg_neighbor_degree(_edges(spark, sf))
+
     def g22_snapshot_diff(spark, sf):
         # crawl snapshot delta: two overlapping edge snapshots derived from
         # lineitem (l_linenumber bands model two monthly crawls of the same
@@ -1931,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g48_louvain_condense": g48_louvain_condense,
         "x16_bpe_pairs": x16_bpe_pairs,
         "x17_bpe_merge_round": x17_bpe_merge_round,
+        "g49_square_count": g49_square_count,
+        "a19_knn_degree": a19_knn_degree,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -4425,6 +4453,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst AS id, n_links, round(m, 6) AS mass
             FROM contrib
             WHERE dst NOT IN (SELECT id FROM vis)
+        """,
+        # exact square count: wedge self-join per middle vertex, then the
+        # opposite-corner identity #C4 = Σ w(w−1)/4 in exact DECIMAL
+        "g49_square_count": """
+            WITH e AS (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ), und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst
+            ), nb AS (
+                SELECT a AS m, b AS x FROM und
+                UNION ALL SELECT b, a FROM und
+            ), wab AS (
+                SELECT l.x AS a, r.x AS b, COUNT(*) AS w
+                FROM nb l JOIN nb r ON l.m = r.m AND l.x < r.x
+                GROUP BY l.x, r.x
+            )
+            SELECT
+                CAST(COALESCE(SUM(CASE WHEN w >= 2 THEN 1 ELSE 0 END), 0)
+                     AS BIGINT) AS wedge_pairs,
+                CAST(CAST(COALESCE(SUM(w * (w - 1)), 0) AS DECIMAL(38,0)) / 4
+                     AS BIGINT) AS squares
+            FROM wab
+        """,
+        # k_nn(k): per-node mean neighbor degree (one IEEE division of
+        # exact longs, round 9, decimal-summed), averaged per degree class
+        "a19_knn_degree": f"""
+            WITH e AS ({_EDGES_SQL}),
+            und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst
+            ), adj AS (
+                SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+            ), deg AS (
+                SELECT u AS id, COUNT(*) AS d FROM adj GROUP BY u
+            ), pn AS (
+                SELECT adj.u, COUNT(*) AS k,
+                       CAST(round(1.0 * SUM(dv.d) / COUNT(*), 9)
+                            AS DECIMAL(28,9)) AS mnd
+                FROM adj JOIN deg dv ON dv.id = adj.v GROUP BY adj.u
+            )
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   round(CAST(SUM(mnd) AS DOUBLE) / COUNT(*), 6) AS knn
+            FROM pn GROUP BY k
         """,
         "g24_cocitation": """
             WITH e AS (

@@ -439,3 +439,58 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
         digit_ratio.alias("host_digit_ratio"),
         tracking.alias("has_tracking"),
     )
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-correlation curve k_nn(k) (Pastor-Satorras, Vázquez &
+    Vespignani, PRL 2001 — the standard companion measurement to the
+    assortativity coefficient in graph_mixing): over the undirected
+    simple graph, for each realized degree k,
+
+        k_nn(k) = mean over nodes u with deg(u)=k of
+                  ( Σ_{v ∈ N(u)} deg(v) / deg(u) )
+
+    Decaying k_nn(k) = disassortative mixing (the web's signature: hubs
+    attach to low-degree pages). Returns (k BIGINT, n_nodes BIGINT,
+    knn DOUBLE) for every realized degree, knn rounded to 6 dp.
+
+    Spark shape: degrees (one shuffle), one degree-attach join back onto
+    the adjacency (the PageRank gather shape), one per-node aggregate and
+    one O(distinct degrees) aggregate. Float policy (linkpred.py
+    convention): the per-node mean is one IEEE division of exact longs,
+    rounded to 9 dp and summed as exact DECIMAL(28,9) within the degree
+    class — bit-identical to an ANSI-SQL oracle.
+    """
+    nonloop = edges.filter(F.col("src") != F.col("dst"))
+    und = (
+        nonloop.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    per_node = (
+        adj.join(dv, "v")
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("dv").alias("sdv"),
+        )
+        .select(
+            "k",
+            F.round(F.col("sdv") / F.col("k"), 9).cast("decimal(28,9)").alias("mnd"),
+        )
+    )
+    return (
+        per_node.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            # cast the exact decimal sum to double BEFORE the division:
+            # decimal-division result scales differ between engines, one
+            # IEEE divide does not
+            F.round(F.sum("mnd").cast("double") / F.count(F.lit(1)), 6).alias("knn"),
+        )
+        .select("k", "n_nodes", "knn")
+    )

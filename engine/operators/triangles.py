@@ -173,3 +173,92 @@ def triangles_per_vertex(edges: DataFrame, nodes: DataFrame | None = None) -> Da
             "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
         )
     return counts
+
+
+def square_count(
+    edges: DataFrame,
+    max_fanout: int | None = None,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Exact 4-cycle (square) count over the undirected simple graph —
+    one row (wedge_pairs BIGINT, squares BIGINT).
+
+    Squares are the web's bipartite-core / link-farm signal (Kumar,
+    Raghavan, Rajagopalan & Tomkins, WWW 1999 "Trawling the Web for
+    emerging cyber-communities": dense bipartite subgraphs are exactly
+    square-rich regions). Identity: with w_ab = |N(a) ∩ N(b)| over
+    unordered non-adjacent-or-adjacent pairs,
+
+        #C4 = (1/2) · Σ_{a<b} C(w_ab, 2)
+
+    (each square a-x-b-y is counted once by its opposite-corner pair
+    {a,b} and once by {x,y}; both sums are exact longs, and the total is
+    provably even, so the halving is exact).
+
+    Spark shape: the cocitation wedge surface — every middle vertex m
+    emits C(deg(m), 2) neighbor pairs, so hubs explode quadratically;
+    `max_fanout` applies the repo-wide disclosed pivot cap (middles above
+    the cap emit no wedges; `metrics` receives the capped count and
+    dropped wedge mass — capping UNDERCOUNTS squares through those hubs,
+    and the halving becomes a floor). wedge_pairs = number of unordered
+    endpoint pairs with w_ab >= 2 (the bipartite-core candidate pairs).
+    """
+    from engine.operators._pins import pin
+
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    nb = pin(
+        und.select(F.col("a").alias("m"), F.col("b").alias("x")).union(
+            und.select(F.col("b").alias("m"), F.col("a").alias("x"))
+        )
+    )
+    piv = nb.groupBy("m").agg(F.count(F.lit(1)).alias("fan"))
+    if max_fanout is not None:
+        if metrics is not None:
+            capped = (
+                piv.filter(F.col("fan") > max_fanout)
+                .agg(
+                    F.count(F.lit(1)).alias("capped"),
+                    F.coalesce(
+                        F.sum(F.col("fan") * (F.col("fan") - 1) / F.lit(2)),
+                        F.lit(0.0),
+                    )
+                    .cast("long")
+                    .alias("dropped"),
+                )
+                .collect()[0]
+            )
+            metrics["square_pivots_capped"] = int(capped["capped"])
+            metrics["square_wedges_dropped"] = int(capped["dropped"])
+        nb = nb.join(
+            piv.filter(F.col("fan") <= max_fanout).select("m"), "m"
+        )
+    l = nb.select("m", F.col("x").alias("a"))
+    r = nb.select("m", F.col("x").alias("b"))
+    wab = (
+        l.join(r, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return wab.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("w") >= 2, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("wedge_pairs"),
+        # exact integer halving: Σ w(w−1) is divisible by 4 uncapped (it is
+        # 2·ΣC(w,2) and ΣC(w,2) = 2·#C4); DECIMAL keeps the division exact
+        # far past 2^53 where a double sum would round
+        (
+            F.coalesce(F.sum(F.col("w") * (F.col("w") - 1)), F.lit(0)).cast(
+                "decimal(38,0)"
+            )
+            / F.lit(4)
+        )
+        .cast("long")
+        .alias("squares"),
+    )

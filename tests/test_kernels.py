@@ -2921,3 +2921,95 @@ def test_louvain_broadcast_and_shuffle_gather_agree(spark):
     bc = {r.id: r.label for r in louvain_move_rounds(df, rounds=4, broadcast_labels=True).collect()}
     sh = {r.id: r.label for r in louvain_move_rounds(df, rounds=4, broadcast_labels=False).collect()}
     assert bc == sh == louvain_rounds_py(edges, rounds=4)
+
+
+# --- squares (4-cycles) + degree-correlation curve ---------------------------
+
+
+def _squares_brute(edges):
+    """Independent 4-cycle count: for every 4-vertex subset, count the
+    distinct cyclic orderings whose 4 edges all exist."""
+    import itertools
+
+    und = set()
+    nodes = set()
+    for u, v in edges:
+        if u != v:
+            und.add((min(u, v), max(u, v)))
+            nodes.update((u, v))
+
+    def has(x, y):
+        return (min(x, y), max(x, y)) in und
+
+    total = 0
+    for a, b, c, d in itertools.combinations(sorted(nodes), 4):
+        for p, q, r, s in ((a, b, c, d), (a, b, d, c), (a, c, b, d)):
+            if has(p, q) and has(q, r) and has(r, s) and has(s, p):
+                total += 1
+    return total
+
+
+def test_square_count_known_graphs(spark):
+    from engine.operators.triangles import square_count
+
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    r = square_count(_edges_df(spark, c4)).collect()[0]
+    assert (r.wedge_pairs, r.squares) == (2, 1)
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    assert square_count(_edges_df(spark, k4)).collect()[0].squares == 3
+    # 3-cube: 6 faces + 3 "diagonal" 4-cycles through opposite faces = 9? no:
+    # brute force is the oracle
+    cube = [
+        (0, 1), (1, 2), (2, 3), (3, 0),
+        (4, 5), (5, 6), (6, 7), (7, 4),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+    ]
+    assert square_count(_edges_df(spark, cube)).collect()[0].squares == _squares_brute(cube)
+    # triangle has no squares
+    assert square_count(_edges_df(spark, [(0, 1), (1, 2), (2, 0)])).collect()[0].squares == 0
+
+
+def test_square_count_random_vs_brute(spark):
+    from engine.operators.triangles import square_count
+
+    edges = _sparse_graph(n=25, m=90, seed=31)
+    got = square_count(_edges_df(spark, edges)).collect()[0].squares
+    assert got == _squares_brute(edges)
+
+
+def test_square_count_fanout_cap_disclosed(spark):
+    from engine.operators.triangles import square_count
+
+    # star + one square through the hub: capping the hub drops its wedges
+    edges = [(0, i) for i in range(1, 12)] + [(1, 20), (2, 20)]
+    m: dict = {}
+    r = square_count(_edges_df(spark, edges), max_fanout=5, metrics=m).collect()[0]
+    assert m["square_pivots_capped"] == 1  # the hub (deg 11)
+    assert m["square_wedges_dropped"] == 11 * 10 // 2
+    # the square 0-1-20-2 needs hub 0 as a middle -> undercounted to 0
+    assert r.squares == 0
+    full = square_count(_edges_df(spark, edges)).collect()[0]
+    assert full.squares == 1
+
+
+def test_avg_neighbor_degree_vs_python(spark):
+    from engine.operators.graph import avg_neighbor_degree
+
+    edges = _sparse_graph(n=40, m=160, seed=37)
+    got = {r.k: (r.n_nodes, r.knn) for r in avg_neighbor_degree(_edges_df(spark, edges)).collect()}
+
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    per_class = defaultdict(list)
+    for u, nb in adj.items():
+        per_class[len(nb)].append(round(sum(len(adj[v]) for v in nb) / len(nb), 9))
+    exp = {k: (len(vs), round(sum(vs) / len(vs), 6)) for k, vs in per_class.items()}
+    assert got == exp
+    # the star: leaves (k=1) see the hub's degree, the hub sees 1.0
+    star = [(0, i) for i in range(1, 6)]
+    got_star = {r.k: r.knn for r in avg_neighbor_degree(_edges_df(spark, star)).collect()}
+    assert got_star == {1: 5.0, 5: 1.0}
