@@ -494,3 +494,50 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
         )
         .select("k", "n_nodes", "knn")
     )
+
+
+def host_communities(
+    edges_url: DataFrame,
+    drop_intra: bool = True,
+    levels: int = 2,
+    rounds_per_level: int = 5,
+) -> DataFrame:
+    """Host-level community detection: domain rollup → dense host ids →
+    weighted multi-level Louvain. Returns (host STRING, community STRING)
+    — community named by a member host (the one holding the minimal dense
+    id in the community, which dense-id assignment makes the
+    lexicographically smallest member host: deterministic and
+    human-readable).
+
+    Composition of existing kernels exactly like `host_pagerank`:
+    `domain_graph` (one shuffle; page-link multiplicities become Louvain
+    edge weights — integer, so gains stay exact), `dense_node_ids`, and
+    `louvain(weight_col='weight')`. drop_intra=True removes same-host
+    self-loops BEFORE the rollup; False keeps them, and Louvain folds
+    them into k_i per its self-loop convention."""
+    from engine.operators.louvain import louvain
+
+    dg = domain_graph(edges_url, drop_intra=drop_intra)
+    hosts = dense_node_ids(
+        dg.select(F.col("src_host").alias("url"))
+        .union(dg.select(F.col("dst_host").alias("url")))
+    )
+    n_src = hosts.select(F.col("url").alias("src_host"), F.col("id").alias("src"))
+    n_dst = hosts.select(F.col("url").alias("dst_host"), F.col("id").alias("dst"))
+    e = dg.join(n_src, "src_host").join(n_dst, "dst_host").select(
+        "src", "dst", "weight"
+    )
+    lab = louvain(
+        e, levels=levels, rounds_per_level=rounds_per_level, weight_col="weight"
+    )
+    # label ids are node ids, but not necessarily MEMBER ids after
+    # condensation levels — normalize to the minimal member id, then name
+    # the community by that member's host string
+    rep = lab.groupBy("label").agg(F.min("id").alias("_rep"))
+    named = lab.join(rep, "label").join(
+        hosts.select(F.col("id").alias("_rep"), F.col("url").alias("community")),
+        "_rep",
+    )
+    return named.join(hosts, "id").select(
+        F.col("url").alias("host"), "community"
+    )

@@ -3013,3 +3013,27 @@ def test_avg_neighbor_degree_vs_python(spark):
     star = [(0, i) for i in range(1, 6)]
     got_star = {r.k: r.knn for r in avg_neighbor_degree(_edges_df(spark, star)).collect()}
     assert got_star == {1: 5.0, 5: 1.0}
+
+
+def test_host_communities_two_clusters(spark):
+    from engine.operators.graph import host_communities
+
+    # two host cliques with heavy internal linking, one weak cross link
+    hostsA = [f"a{i}.example.org" for i in range(4)]
+    hostsB = [f"b{i}.example.org" for i in range(4)]
+    rows = []
+    for grp in (hostsA, hostsB):
+        for h1 in grp:
+            for h2 in grp:
+                if h1 != h2:
+                    for p in range(3):  # multiplicity -> louvain weight
+                        rows.append((f"http://{h1}/p{p}", f"http://{h2}/q{p}"))
+    rows.append((f"http://{hostsA[0]}/x", f"http://{hostsB[0]}/y"))
+    df = spark.createDataFrame(rows, schema="src string, dst string")
+    got = {r.host: r.community for r in host_communities(df, rounds_per_level=6).collect()}
+    assert set(got) == set(hostsA + hostsB)
+    comA = {got[h] for h in hostsA}
+    comB = {got[h] for h in hostsB}
+    assert len(comA) == 1 and len(comB) == 1 and comA != comB
+    # community named by its lexicographically smallest member host
+    assert comA == {"a0.example.org"} and comB == {"b0.example.org"}
