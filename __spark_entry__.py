@@ -1152,6 +1152,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = datagen.generate_pages_df(spark, 300, seed=42, partitions=4)
         return graph.anchor_text_index(pages, base_domain=datagen.BASE_DOMAIN)
 
+    def w7_trending_targets(spark, sf):
+        # crawl-stream trending measurement in its batch parity form:
+        # per event-time hour, inbound-link counts per target host over
+        # the synthetic pages table (rows-only like p1/p4: Python-UDF
+        # extraction; stream==batch parity exact-gated in
+        # tests/test_textstats_multimodal_streaming.py)
+        from engine import datagen
+        from engine.streaming.ingest import trending_targets
+
+        pages = datagen.generate_pages_df(spark, 300, seed=42, partitions=4)
+        return trending_targets(pages, window="1 hour")
+
     def p11_boilerplate_blocks(spark, sf):
         # content-based boilerplate classification (jusText-style block
         # labels) over the same synthetic pages table — the audit-trail
@@ -1970,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_fingerprint_rolling": x5_fingerprint_rolling,
         "p4_anchor_index": p4_anchor_index,
         "p11_boilerplate_blocks": p11_boilerplate_blocks,
+        "w7_trending_targets": w7_trending_targets,
     }
 
 

@@ -114,3 +114,58 @@ def stream_extract_edges(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def trending_targets(
+    pages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    base_domain: str | None = None,
+) -> DataFrame:
+    """Windowed inbound-link counts per target host — the crawl-stream
+    "trending pages" measurement (which hosts are suddenly being linked
+    to, per event-time window of the crawl).
+
+    Each page contributes its extracted edges at its `warc_ts` event time
+    (the same Arrow-UDF parse + resolve + scheme filters as the edge
+    pipeline, crawler/core.py:296-310 order); targets collapse to hosts
+    (the domain_graph rollup notion). Returns
+    (window_epoch BIGINT, dst_host STRING, links BIGINT).
+
+    ONE function serves both modes: on a streaming pages source the
+    watermarked windowed aggregate maintains O(open windows × hosts)
+    state and drops crawl chunks later than `watermark`; on a batch pages
+    table `withWatermark` is a no-op and the same plan is the parity
+    oracle form (stream==batch asserted in tests)."""
+    from pyspark.sql import functions as F
+
+    from engine.functions.udfs import (
+        base_domain_udf,
+        extract_page_udf,
+        resolve_href_udf,
+    )
+
+    e = (
+        pages.select("url", "warc_ts", extract_page_udf(F.col("html")).alias("ex"))
+        .select("url", "warc_ts", F.explode("ex.hrefs").alias("href"))
+        .withColumn("dst", resolve_href_udf(F.col("url"), F.col("href")))
+        .filter(
+            ~F.col("dst").startswith("mailto:")
+            & ~F.col("dst").startswith("javascript:")
+        )
+    )
+    if base_domain is not None:
+        e = e.filter(base_domain_udf(F.col("dst")) == F.lit(base_domain.lower()))
+    hosts = e.select(
+        "warc_ts", F.lower(F.parse_url(F.col("dst"), F.lit("HOST"))).alias("dst_host")
+    ).filter(F.col("dst_host").isNotNull())
+    return (
+        hosts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "dst_host")
+        .agg(F.count(F.lit(1)).alias("links"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_epoch"),
+            "dst_host",
+            "links",
+        )
+    )

@@ -790,3 +790,41 @@ def test_bpe_train_no_python_udf(spark):
         .toString()
     )
     assert "EvalPython" not in plan  # pure Catalyst, no Python boundary
+
+
+def test_trending_targets_stream_matches_batch(spark, tmp_path):
+    from engine import datagen
+    from engine.streaming.ingest import trending_targets
+
+    pages = datagen.generate_pages_df(spark, 100, seed=11, partitions=2)
+    src = str(tmp_path / "tpages")
+    pages.write.mode("overwrite").parquet(src)
+
+    batch_in = spark.read.parquet(src)
+    batch = trending_targets(batch_in, window="1 hour").collect()
+    key = lambda r: (r.window_epoch, r.dst_host)
+    exp = {key(r): r.links for r in batch}
+    assert exp and all(v > 0 for v in exp.values())
+    # every target host of the synthetic crawl shows up
+    hosts = {r.dst_host for r in batch}
+    assert hosts  # non-trivial rollup
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in batch_in.schema
+    )
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = trending_targets(stream_in, window="1 hour")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trending")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "tck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {key(r): r.links for r in spark.table("trending").collect()}
+    assert got == exp  # stream == batch, window by window, host by host
