@@ -1191,6 +1191,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return square_count(e)
 
+    def a20_cc_curve(spark, sf):
+        # clustering-coefficient curve C(k) (Ravasz & Barabási 2003 —
+        # hierarchy signature; completes the mixing trio with a17/a19):
+        # mean 6-dp lcc per degree class, decimal-summed. Oracle: the g8
+        # lcc SQL wrapped in one GROUP BY. Post-window:
+        # check_contract-validated.
+        from engine.operators.triangles import cc_curve
+
+        return cc_curve(_edges(spark, sf))
+
     def a19_knn_degree(spark, sf):
         # degree-correlation curve k_nn(k) (Pastor-Satorras et al. 2001 —
         # the companion to a17's assortativity coefficient): per degree
@@ -1971,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x17_bpe_merge_round": x17_bpe_merge_round,
         "g49_square_count": g49_square_count,
         "a19_knn_degree": a19_knn_degree,
+        "a20_cc_curve": a20_cc_curve,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -3444,6 +3455,34 @@ def oracle_sql() -> dict[str, str]:
                               THEN (2.0 * coalesce(t.triangles, 0)) / (d.degree * (d.degree - 1))
                               ELSE 0.0 END, 6) AS lcc
             FROM deg d LEFT JOIN tpv t ON t.id = d.id
+        """,
+        # C(k): the g8 per-vertex lcc grouped by degree class (6-dp lcc
+        # values decimal-summed, one IEEE division, round 6)
+        "a20_cc_curve": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM ({_EDGES_SQL}) WHERE src <> dst
+            ), sym AS (
+                SELECT u AS id FROM und UNION ALL SELECT v FROM und
+            ), deg AS (
+                SELECT id, count(*) AS degree FROM sym GROUP BY id
+            ), tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM und e1 JOIN und e2 ON e2.u = e1.v JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+            ), members AS (
+                SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+            ), tpv AS (
+                SELECT id, count(*) AS triangles FROM members GROUP BY id
+            ), lcc AS (
+                SELECT d.degree,
+                       round(CASE WHEN d.degree >= 2
+                                  THEN (2.0 * coalesce(t.triangles, 0)) / (d.degree * (d.degree - 1))
+                                  ELSE 0.0 END, 6) AS lcc
+                FROM deg d LEFT JOIN tpv t ON t.id = d.id
+            )
+            SELECT degree AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   round(CAST(SUM(CAST(lcc AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6) AS c
+            FROM lcc GROUP BY degree
         """,
         "g5_bfs_levels": f"""
             WITH RECURSIVE e AS ({_EDGES_SQL}),

@@ -262,3 +262,23 @@ def square_count(
         .cast("long")
         .alias("squares"),
     )
+
+
+def cc_curve(edges: DataFrame) -> DataFrame:
+    """(k BIGINT, n_nodes BIGINT, c DOUBLE): mean local clustering
+    coefficient per degree class — the C(k) curve (Ravasz & Barabási,
+    PRE 2003): C(k) ∝ 1/k is the signature of hierarchical modularity,
+    the standard web-graph reading next to k_nn(k) (graph.avg_neighbor_degree)
+    and the degree distribution. One O(distinct degrees) aggregate over
+    clustering_coefficient's output; per-vertex 6-dp lcc values are
+    decimal-summed within the class (engine-portable), one IEEE division,
+    round 6."""
+    lcc = clustering_coefficient(edges)
+    return lcc.groupBy(F.col("degree").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(
+            F.sum(F.col("lcc").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c"),
+    )

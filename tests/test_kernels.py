@@ -3037,3 +3037,27 @@ def test_host_communities_two_clusters(spark):
     assert len(comA) == 1 and len(comB) == 1 and comA != comB
     # community named by its lexicographically smallest member host
     assert comA == {"a0.example.org"} and comB == {"b0.example.org"}
+
+
+def test_cc_curve_vs_python(spark):
+    from engine.operators.triangles import cc_curve
+
+    edges = _sparse_graph(n=30, m=120, seed=41)
+    got = {r.k: (r.n_nodes, r.c) for r in cc_curve(_edges_df(spark, edges)).collect()}
+
+    from collections import defaultdict
+    import itertools
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    per_class = defaultdict(list)
+    for u, nb in adj.items():
+        d = len(nb)
+        t = sum(1 for a, b in itertools.combinations(nb, 2) if b in adj[a])
+        lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        per_class[d].append(lcc)
+    exp = {k: (len(vs), round(sum(vs) / len(vs), 6)) for k, vs in per_class.items()}
+    assert got == exp
