@@ -102,6 +102,30 @@ def main() -> int:
     has_python = "Python" in p4 or "BatchEvalPython" in p4 or "ArrowEval" in p4
     print(f">>> Python in plan: {'YES - regression!' if has_python else 'none (pure Catalyst)'}")
 
+    # -- 5. louvain gain round: no Python, no cartesian product --
+    from engine.operators.louvain import louvain_move_rounds
+
+    lv = louvain_move_rounds(edges, rounds=1)
+    p5 = _plan(lv)
+    print("=" * 72)
+    print("5. LOUVAIN GAIN ROUND (broadcast mode on this input)")
+    print(p5)
+    print(
+        f">>> Python in plan: {'YES - regression!' if 'Python' in p5 else 'none'}; "
+        f"CartesianProduct: {'YES - regression!' if 'CartesianProduct' in p5 else 'none'}"
+    )
+
+    # -- 6. BPE pair counting: pure-Catalyst fold/explode path --
+    from engine.operators.bpe import initial_symbols, pair_counts, word_counts
+
+    pc = pair_counts(initial_symbols(word_counts(docs)))
+    p6 = _plan(pc)
+    print("=" * 72)
+    print("6. BPE PAIR COUNTS (chars + '</w>' -> weighted adjacent pairs)")
+    print(p6)
+    has_python6 = "Python" in p6 or "ArrowEval" in p6
+    print(f">>> Python in plan: {'YES - regression!' if has_python6 else 'none (pure Catalyst)'}")
+
     spark.stop()
     return 0
 
