@@ -1212,6 +1212,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return avg_neighbor_degree(_edges(spark, sf))
 
+    def g50_component_sizes(spark, sf):
+        # component-size distribution (Broder et al. WWW 2000 report this
+        # curve for the web: one giant component + a power-law tail of
+        # small ones): per component size, how many weakly connected
+        # components have it. Runs on the sparse bowtie slice (the full
+        # graph is ONE component at sf0.01 — a 1-row degenerate check; the
+        # slice has a giant component plus a real small-size tail). Two
+        # tiny aggregates over the exact-gated CC kernel's labeling.
+        # Oracle: the g1-style recursive closure over the same slice + the
+        # same two GROUP BYs. Post-window: check_contract-validated.
+        li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") <= 1)
+        e = li.select(
+            (F.col("l_orderkey") % 997).alias("src"),
+            (F.col("l_partkey") % 997).alias("dst"),
+        )
+        cc = connected_components(e)
+        return (
+            cc.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("size"))
+            .groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_components"))
+        )
+
     def g22_snapshot_diff(spark, sf):
         # crawl snapshot delta: two overlapping edge snapshots derived from
         # lineitem (l_linenumber bands model two monthly crawls of the same
@@ -1982,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g49_square_count": g49_square_count,
         "a19_knn_degree": a19_knn_degree,
         "a20_cc_curve": a20_cc_curve,
+        "g50_component_sizes": g50_component_sizes,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -3498,6 +3522,28 @@ def oracle_sql() -> dict[str, str]:
         # label = min reachable id — grades the large/small-star kernel's
         # exact-match contract (label = min id in component) end-to-end
         "g1_connected_components": cc_closure_sql,
+        # component-size distribution over the sparse-slice closure labeling
+        "g50_component_sizes": """
+            WITH RECURSIVE e AS (
+                SELECT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+                FROM lineitem WHERE l_quantity <= 1
+            ),
+            und AS (
+                SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                UNION
+                SELECT dst AS a, src AS b FROM e WHERE src <> dst
+            ),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+            reach(id, r) AS (
+                SELECT id, id AS r FROM nodes
+                UNION
+                SELECT re.id, u.b AS r FROM reach re JOIN und u ON u.a = re.r
+            ),
+            labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+            comps AS (SELECT label, COUNT(*) AS size FROM labels GROUP BY label)
+            SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components
+            FROM comps GROUP BY size
+        """,
         # incremental CC grades against the SAME batch closure: the spark
         # side rebuilds from prior labels + delta only, the oracle reads
         # the full table — a green row proves the star-forest identity
