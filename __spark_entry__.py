@@ -4025,7 +4025,7 @@ def oracle_sql() -> dict[str, str]:
             WITH deg AS (
                 SELECT src, count(*) AS deg FROM ({_EDGES_SQL}) GROUP BY src
             )
-            SELECT count(*) AS n_src, sum(deg) AS m, max(deg) AS max_deg,
+            SELECT count(*) AS n_src, CAST(sum(deg) AS BIGINT) AS m, max(deg) AS max_deg,
                    round(avg(deg), 6) AS avg_deg,
                    round(quantile_cont(deg, 0.5), 6) AS p50,
                    round(quantile_cont(deg, 0.9), 6) AS p90,
@@ -4572,8 +4572,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT
                 CAST(COALESCE(SUM(CASE WHEN w >= 2 THEN 1 ELSE 0 END), 0)
                      AS BIGINT) AS wedge_pairs,
-                CAST(CAST(COALESCE(SUM(w * (w - 1)), 0) AS DECIMAL(38,0)) / 4
-                     AS BIGINT) AS squares
+                -- '//' integer floor division mirrors the engine's explicit
+                -- F.floor: bit-identical even on capped runs where the sum
+                -- is not divisible by 4 (uncapped it always is)
+                CAST(COALESCE(SUM(w * (w - 1)), 0) // 4 AS BIGINT) AS squares
             FROM wab
         """,
         # k_nn(k): per-node mean neighbor degree (one IEEE division of
@@ -5090,7 +5092,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(round(c, 4) AS DOUBLE) AS cosine, knn_rank
             FROM r WHERE knn_rank <= 3
         """,
-        "p10_url_features": """
+        "p10_url_features": r"""
             WITH urls AS (
                 SELECT doc_id,
                        'https://'

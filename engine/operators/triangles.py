@@ -222,9 +222,19 @@ def square_count(
                 piv.filter(F.col("fan") > max_fanout)
                 .agg(
                     F.count(F.lit(1)).alias("capped"),
-                    F.coalesce(
-                        F.sum(F.col("fan") * (F.col("fan") - 1) / F.lit(2)),
-                        F.lit(0.0),
+                    # exact: fan*(fan-1) is even, decimal-sum then integer
+                    # halving — a double sum loses precision past 2^53 (a
+                    # 10^8-degree hub alone contributes ~5e15 wedges)
+                    F.floor(
+                        F.coalesce(
+                            F.sum(
+                                (F.col("fan") * (F.col("fan") - 1)).cast(
+                                    "decimal(38,0)"
+                                )
+                            ),
+                            F.lit(0).cast("decimal(38,0)"),
+                        )
+                        / F.lit(2)
                     )
                     .cast("long")
                     .alias("dropped"),
@@ -253,7 +263,10 @@ def square_count(
         # exact integer halving: Σ w(w−1) is divisible by 4 uncapped (it is
         # 2·ΣC(w,2) and ΣC(w,2) = 2·#C4); DECIMAL keeps the division exact
         # far past 2^53 where a double sum would round
-        (
+        # explicit floor so a capped run (where Σw(w−1) may not divide by 4)
+        # agrees bit-for-bit with the DuckDB oracle's '//' integer division;
+        # uncapped the division is exact and the floor is a no-op
+        F.floor(
             F.coalesce(F.sum(F.col("w") * (F.col("w") - 1)), F.lit(0)).cast(
                 "decimal(38,0)"
             )

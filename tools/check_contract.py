@@ -1,7 +1,15 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
-names, and order-insensitive values. Usage:
+names, column TYPES, and order-insensitive values. Usage:
     python tools/check_contract.py [sf_dir] [name ...]
+
+The type check exists because the driver's value hash is typed: DuckDB
+silently widens integer aggregates (sum(BIGINT) -> HUGEINT, for example)
+while Spark stays at BIGINT, and Python's fetch coerces both to int so a
+value-only compare is blind to it (that exact drift failed a16_degree_stats
+in round 4's driver grade while this tool said ALL PASS). We normalize
+DuckDB's DESCRIBE output into Spark's dtype vocabulary and fail on any
+mismatch so oracle type drift is caught before the driver grades.
 """
 
 from __future__ import annotations
@@ -19,6 +27,51 @@ import __spark_entry__ as entrymod
 from engine.session import build_session
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "HUGEINT": "hugeint",  # no Spark equivalent: always a mismatch, by design
+    "UBIGINT": "ubigint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "REAL": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "DATE": "date",
+    "BLOB": "binary",
+}
+
+
+def duck_type_to_spark(t: str) -> str:
+    """Normalize a DuckDB DESCRIBE column_type into Spark dtype vocabulary."""
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{duck_type_to_spark(t[:-2])}>"
+    up = t.upper()
+    if up.startswith("DECIMAL"):
+        return up.lower().replace(" ", "")
+    return _DUCK_TO_SPARK.get(up, t.lower())
+
+
+def oracle_types(con, sql: str) -> dict[str, str]:
+    """Column name -> Spark-vocabulary type for a DuckDB query, via DESCRIBE."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: duck_type_to_spark(r[1]) for r in rows}
+
+
+def type_mismatches(spark_types: dict[str, str], duck_types: dict[str, str]) -> list[str]:
+    """Per-column '<col>: spark=<t> duck=<t>' strings for every type drift."""
+    return [
+        f"{c}: spark={spark_types[c]} duck={duck_types[c]}"
+        for c in sorted(spark_types)
+        if c in duck_types and spark_types[c] != duck_types[c]
+    ]
 
 
 def norm_cell(v):
@@ -80,6 +133,9 @@ def main():
         ok = True
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif (tm := type_mismatches(dict(sdf.dtypes), oracle_types(con, oracles[name]))):
+            print(f"FAIL {name}: type mismatch {tm}")
             ok = False
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
