@@ -660,6 +660,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
         )
 
+    def d3b_minhash_md5_pairs(spark, sf):
+        # Post-window: check_contract-validated. md5-portable twin of d3:
+        # SAME MinHash→LSH banding→cap→star→exact-verify code path
+        # (dedupe.minhash_lsh_dedupe_pairs), hash function parameterized to
+        # the walks.py md5 60-bit arithmetic so DuckDB can recompute the
+        # signatures bit-for-bit (mc_pagerank.py:64 made hash walks portable
+        # the same way) — this oracle-gates the LSH dedup family's core
+        # math externally instead of pytest-only (d3 stays xxhash64 and
+        # rows-only because xxhash64 has no DuckDB equivalent).
+        d = _t(spark, sf, "documents")
+        return dedupe.minhash_lsh_dedupe_pairs(
+            d, "doc_id", "text", threshold=0.5, hash_fn="md5"
+        ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
     def d4_simhash_fingerprints(spark, sf):
         d = _t(spark, sf, "documents")
         return dedupe.simhash_fingerprints(d, "doc_id", "text")
@@ -2006,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_knn_degree": a19_knn_degree,
         "a20_cc_curve": a20_cc_curve,
         "g50_component_sizes": g50_component_sizes,
+        "d3b_minhash_md5_pairs": d3b_minhash_md5_pairs,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -5128,4 +5143,63 @@ def oracle_sql() -> dict[str, str]:
     # the Bloom prefilter changes only the PHYSICAL plan — its output is
     # row-identical to the exact path, so d7's oracle gates d8 too
     sql["d8_decontaminate_bloom"] = sql["d7_decontaminate"]
+
+    # d3b: full MinHash→LSH→verify recomputed from scratch — 16 md5 60-bit
+    # signature mins (the walks.py '0x'||substring(md5) arithmetic, proved
+    # portable by i1e), 4 band buckets re-hashed from each band's 4 mins,
+    # banded self-join candidates, exact Jaccard >= 0.5 over the 3-gram
+    # shingle sets (d2's shingle/verify pattern). The engine's
+    # signature-identical star union adds only pairs that already share
+    # every (uncapped) band bucket, so it is a subset of the banded join
+    # here; no bucket at contract scale approaches the 10k cap.
+    _mh_mins = ",\n                   ".join(
+        f"min(('0x' || substring(md5('{j}' || '|' || shingle), 1, 15))::BIGINT) AS mh{j}"
+        for j in range(16)
+    )
+    _band_cases = "\n                     ".join(
+        "WHEN {b} THEN {cat}".format(
+            b=b,
+            cat=" || '|' || ".join(f"mh{b * 4 + i}::VARCHAR" for i in range(4)),
+        )
+        for b in range(4)
+    )
+    sql["d3b_minhash_md5_pairs"] = f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, {_TOK} AS l FROM documents
+        ), sh AS MATERIALIZED (
+            SELECT doc_id AS doc, unnest(list_distinct(CASE WHEN len(l) >= 3
+                THEN list_transform(range(1, len(l) - 1),
+                                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                ELSE [array_to_string(l, ' ')] END)) AS shingle
+            FROM toks
+        ), sig AS MATERIALIZED (
+            SELECT doc,
+                   {_mh_mins}
+            FROM sh GROUP BY doc
+        ), banded AS MATERIALIZED (
+            SELECT doc, band,
+                   ('0x' || substring(md5(CASE band
+                     {_band_cases}
+                   END), 1, 15))::BIGINT AS bucket
+            FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)
+        ), cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+        ), sz AS MATERIALIZED (
+            SELECT doc, count(*) AS sz FROM sh GROUP BY doc
+        ), inter AS MATERIALIZED (
+            SELECT c.id_a, c.id_b, count(*) AS i
+            FROM cand c
+            JOIN sh a ON a.doc = c.id_a
+            JOIN sh b ON b.doc = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(round(i / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc = id_a
+        JOIN sz sb ON sb.doc = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    """
     return sql

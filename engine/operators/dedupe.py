@@ -307,16 +307,36 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc, mh0..mh{k-1}): k independent min-hashes, hash_j(s) =
-    xxhash64(j, s). One exploded pass, one grouped multi-aggregate."""
+    hash(j, s). One exploded pass, one grouped multi-aggregate.
+
+    hash_fn: 'xxhash64' (default — fastest, JVM-native) or 'md5'
+    (60-bit md5-hex arithmetic, the walks.py/_hash_idx portability
+    contract: bit-identically replayable in DuckDB/any SQL engine, so the
+    whole MinHash→LSH→verify path can be externally oracle-graded)."""
     sh = _doc_shingles(docs, id_col, text_col, shingle_n)
-    return _signatures_from_shingles(sh, num_hashes)
+    return _signatures_from_shingles(sh, num_hashes, hash_fn)
 
 
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+def _mh_hash(parts: list, hash_fn: str):
+    """One 64-bit-ish hash column from `parts` (cols or lits). md5 mode
+    takes the top 15 hex chars (60 bits, sign-safe in BIGINT) of
+    md5('p0|p1|...') — DuckDB twin: ('0x' || substring(md5(...),1,15))::BIGINT."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(*parts)
+    if hash_fn == "md5":
+        s = F.concat_ws("|", *[p.cast("string") for p in parts])
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
     aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh{j}")
+        F.min(_mh_hash([F.lit(j), F.col("shingle")], hash_fn)).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
     return sh.groupBy("doc").agg(*aggs)
@@ -328,6 +348,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
     metrics: dict | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature into `bands` groups of r = k/bands rows; docs
     sharing any band bucket are candidates. Returns distinct (id_a, id_b).
@@ -348,7 +369,8 @@ def minhash_lsh_candidates(
     # the aggregation behind it for every branch (exchange reuse only
     # dedupes the shuffle, not the agg).
     buckets = [
-        F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]) for b in range(bands)
+        _mh_hash([F.col(f"mh{b * r + i}") for i in range(r)], hash_fn)
+        for b in range(bands)
     ]
     banded = signatures.select(
         "doc", F.posexplode(F.array(*buckets)).alias("band", "bucket")
@@ -386,6 +408,7 @@ def minhash_lsh_dedupe_pairs(
     threshold: float = 0.8,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
     metrics: dict | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: candidates from banding, then exact
     Jaccard verification over shingle sets. Returns (id_a, id_b, jaccard).
@@ -395,8 +418,10 @@ def minhash_lsh_dedupe_pairs(
     dedupes only the shuffle, and re-running the shingling/distinct per
     branch measured ~2× on the whole pipeline."""
     sh = _pin(_doc_shingles(docs, id_col, text_col, shingle_n))
-    sigs = _signatures_from_shingles(sh, num_hashes)
-    cand = minhash_lsh_candidates(sigs, num_hashes, bands, max_bucket_size, metrics)
+    sigs = _signatures_from_shingles(sh, num_hashes, hash_fn)
+    cand = minhash_lsh_candidates(
+        sigs, num_hashes, bands, max_bucket_size, metrics, hash_fn
+    )
     return _verify_jaccard(cand, sh, threshold)
 
 

@@ -170,6 +170,60 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert kept == [1, 3]
 
 
+def test_minhash_md5_twin_structural_equivalence(spark):
+    """hash_fn='md5' runs the SAME banding/cap/star/verify code path as the
+    default xxhash64 and must find the same verified near-dup pairs on the
+    canonical fixture (verification is exact Jaccard, so any recall gap
+    between the two hash families would surface as a missing pair). The md5
+    signatures themselves are pinned against a hashlib twin — the
+    portability contract the d3b DuckDB oracle relies on."""
+    import hashlib
+
+    base = "pagerank computes stationary distribution of the random surfer on the web graph "
+    rows = [
+        (1, base * 3),
+        (2, base * 3 + "with one extra tail sentence here"),
+        (3, "unrelated document about cooking recipes and baking bread at home in the oven"),
+        (4, base * 3),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    xx = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedupe.minhash_lsh_dedupe_pairs(df, threshold=0.5).collect()
+    }
+    md = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedupe.minhash_lsh_dedupe_pairs(df, threshold=0.5, hash_fn="md5").collect()
+    }
+    assert xx == md  # same pairs AND same exact-Jaccard values
+    assert {(1, 4), (1, 2), (2, 4)} <= {(a, b) for a, b, _ in md}
+
+    # signature arithmetic: engine md5 mins == hashlib twin over the same
+    # 3-gram shingle sets (60-bit top-15-hex integers)
+    sigs = {
+        r.doc: [r[f"mh{j}"] for j in range(16)]
+        for r in dedupe.minhash_signatures(df, hash_fn="md5").collect()
+    }
+
+    def shingles(text):
+        import re
+
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    for doc_id, text in rows:
+        want = [
+            min(
+                int(hashlib.md5(f"{j}|{s}".encode()).hexdigest()[:15], 16)
+                for s in shingles(text)
+            )
+            for j in range(16)
+        ]
+        assert sigs[doc_id] == want, doc_id
+
+
 def test_simhash_fingerprints_deterministic(spark):
     text1 = " ".join(f"tok{i}" for i in range(150))
     rows = [(1, text1), (2, text1), (3, "totally different words nothing shared")]
