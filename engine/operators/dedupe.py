@@ -197,8 +197,26 @@ def _cap_hot_buckets(
     (one extra small aggregation job); callers are expected to supplement
     exact-duplicate connectivity separately (see the signature-star unions
     in minhash/simhash below) so capping never orphans exact dupes."""
+    kept, _ = _cap_hot_buckets_with_hot(banded, keys, max_bucket_size, metrics, label)
+    return kept
+
+
+def _cap_hot_buckets_with_hot(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    metrics: dict | None = None,
+    label: str = "lsh",
+) -> tuple[DataFrame, DataFrame | None]:
+    """_cap_hot_buckets, additionally returning the hot (keys) bucket keys
+    (None when capping is disabled) so callers can build their
+    exact-duplicate reconnection star from ONLY the dropped members —
+    identical-signature docs always share the same dropped/kept status, so
+    restricting the star to dropped members is output-equivalent to a
+    full-table star and skips the wide full-signature groupBy when nothing
+    (or little) was capped."""
     if max_bucket_size is None:
-        return banded
+        return banded, None
     sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
     if metrics is not None:
         row = sizes.agg(
@@ -213,8 +231,8 @@ def _cap_hot_buckets(
         metrics[f"{label}_buckets_total"] = int(row["total"])
         metrics[f"{label}_buckets_dropped"] = int(row["dropped"])
         metrics[f"{label}_bucket_rows_dropped"] = int(row["rows"])
-    hot = sizes.filter(F.col("_bsz") > max_bucket_size).select(*keys)
-    return banded.join(hot, keys, "left_anti")
+    hot = _pin(sizes.filter(F.col("_bsz") > max_bucket_size).select(*keys))
+    return banded.join(hot, keys, "left_anti"), hot
 
 
 # ---------------------------------------------------------------- token jaccard
@@ -315,8 +333,15 @@ def minhash_signatures(
     hash_fn: 'xxhash64' (default — fastest, JVM-native) or 'md5'
     (60-bit md5-hex arithmetic, the walks.py/_hash_idx portability
     contract: bit-identically replayable in DuckDB/any SQL engine, so the
-    whole MinHash→LSH→verify path can be externally oracle-graded)."""
-    sh = _doc_shingles(docs, id_col, text_col, shingle_n)
+    whole MinHash→LSH→verify path can be externally oracle-graded).
+
+    Aggregates the NON-distinct exploded multiset: min() is insensitive to
+    duplicate shingles, and skipping the distinct means the per-doc mins
+    fold map-side over the narrow explode — no (doc, shingle) shuffle."""
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+    )
     return _signatures_from_shingles(sh, num_hashes, hash_fn)
 
 
@@ -372,10 +397,14 @@ def minhash_lsh_candidates(
         _mh_hash([F.col(f"mh{b * r + i}") for i in range(r)], hash_fn)
         for b in range(bands)
     ]
-    banded = signatures.select(
-        "doc", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    banded_all = _pin(
+        signatures.select(
+            "doc", F.posexplode(F.array(*buckets)).alias("band", "bucket")
+        )
     )
-    banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size, metrics, "minhash")
+    banded, hot = _cap_hot_buckets_with_hot(
+        banded_all, ["band", "bucket"], max_bucket_size, metrics, "minhash"
+    )
     left = banded.select("band", "bucket", F.col("doc").alias("id_a"))
     right = banded.select("band", "bucket", F.col("doc").alias("id_b"))
     cand = (
@@ -383,14 +412,24 @@ def minhash_lsh_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    if max_bucket_size is not None:
+    if hot is not None:
         # signature-identical star: min-doc rep per full signature -> others.
         # O(group size) rows where the banded join would emit O(size²); a
         # strict subset of the uncapped candidate set (id_a = group min < id_b).
+        # Built from the DROPPED-bucket members only: identical signatures
+        # imply identical buckets, so a signature group is either wholly
+        # capped (star reconnects it here) or wholly kept (the banded join
+        # above already pairs it) — skipping the full-table wide groupBy.
         sig_cols = [f"mh{j}" for j in range(num_hashes)]
-        rep = signatures.groupBy(*sig_cols).agg(F.min("doc").alias("id_a"))
+        dropped_docs = (
+            banded_all.join(hot, ["band", "bucket"], "left_semi")
+            .select("doc")
+            .distinct()
+        )
+        dsigs = signatures.join(dropped_docs, "doc", "left_semi")
+        rep = dsigs.groupBy(*sig_cols).agg(F.min("doc").alias("id_a"))
         star = (
-            signatures.join(rep, sig_cols)
+            dsigs.join(rep, sig_cols)
             .filter(F.col("doc") != F.col("id_a"))
             .select("id_a", F.col("doc").alias("id_b"))
         )
@@ -413,26 +452,70 @@ def minhash_lsh_dedupe_pairs(
     """Full MinHash→LSH→verify pipeline: candidates from banding, then exact
     Jaccard verification over shingle sets. Returns (id_a, id_b, jaccard).
 
-    The exploded shingle set feeds the signature aggregate AND three
-    verification subplans, so it is pinned (see `_pin`): exchange reuse alone
-    dedupes only the shuffle, and re-running the shingling/distinct per
-    branch measured ~2× on the whole pipeline."""
-    sh = _pin(_doc_shingles(docs, id_col, text_col, shingle_n))
-    sigs = _signatures_from_shingles(sh, num_hashes, hash_fn)
+    Scale shape (all three output-identical to the naive
+    shingle→distinct→sign→band→verify chain):
+    - signatures aggregate the NON-distinct exploded multiset — min() is
+      set-insensitive, and the exploded rows are already co-located with
+      their doc row, so the per-doc mins fold map-side with no
+      (doc, shingle) shuffle; the corpus-wide distinct never runs.
+    - verification shingle sets are built only for docs that appear in a
+      candidate pair (left_semi before distinct) — at web scale the
+      distinct shuffles candidate docs' shingles, not the corpus's.
+    - candidate pairs whose md5(text) fingerprints are equal are exact
+      duplicates: jaccard = 1.0 by definition (identical shingle sets),
+      emitted directly without set intersection — the boilerplate-heavy
+      case (10⁴ clones → 10⁴ star pairs) skips the k×|shingles| verify
+      join entirely.
+    The exploded multiset feeds the signature aggregate and the verify
+    semi-join, so it is pinned (see `_pin`)."""
+    raw = _pin(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles_col(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+    )
+    sigs = _signatures_from_shingles(raw, num_hashes, hash_fn)
     cand = minhash_lsh_candidates(
         sigs, num_hashes, bands, max_bucket_size, metrics, hash_fn
     )
-    return _verify_jaccard(cand, sh, threshold)
+    fp = docs.select(F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("_fp"))
+    # pinned: exact / rest / cand_docs all branch from it
+    withfp = _pin(
+        cand.join(fp.select(F.col("doc").alias("id_a"), F.col("_fp").alias("_fpa")), "id_a")
+        .join(fp.select(F.col("doc").alias("id_b"), F.col("_fp").alias("_fpb")), "id_b")
+    )
+    exact = withfp.filter(F.col("_fpa").eqNullSafe(F.col("_fpb"))).select(
+        "id_a", "id_b", F.lit(1.0).alias("jaccard")
+    )
+    rest = withfp.filter(~F.col("_fpa").eqNullSafe(F.col("_fpb"))).select("id_a", "id_b")
+    cand_docs = (
+        rest.select(F.col("id_a").alias("doc"))
+        .union(rest.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    sh = _pin(raw.join(cand_docs, "doc", "left_semi").distinct())
+    return _verify_jaccard(rest, sh, threshold).union(
+        exact.filter(F.col("jaccard") >= threshold)
+    )
 
 
 def drop_near_duplicates(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Cluster verified near-dup pairs with the CC kernel (components.py) and
-    keep only the min-id representative of each cluster."""
+    keep only the min-id representative of each cluster.
+
+    The pair edges are localCheckpointed first: `pairs` typically arrives
+    with the whole LSH/verify lineage attached, and feeding that into an
+    iterative kernel makes every AQE stage re-plan the full multi-join tree
+    (measured 22 s -> 4 s on the 100k-doc boilerplate benchmark for a
+    9999-edge star — pure driver-side Catalyst time, no execution change)."""
     from engine.operators.components import connected_components
 
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
     labels = connected_components(edges, nodes=docs.select(F.col(id_col).alias("id")))
     keep = labels.filter(F.col("id") == F.col("label")).select(F.col("id").alias(id_col))
     return docs.join(keep, id_col, "left_semi")
@@ -500,10 +583,14 @@ def simhash_near_pairs(
         F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
         for c in range(chunks)
     ]
-    banded = fingerprints.select(
-        "doc", "simhash", F.posexplode(F.array(*piece_exprs)).alias("chunk", "piece")
+    banded_all = _pin(
+        fingerprints.select(
+            "doc", "simhash", F.posexplode(F.array(*piece_exprs)).alias("chunk", "piece")
+        )
     )
-    banded = _cap_hot_buckets(banded, ["chunk", "piece"], max_bucket_size, metrics, "simhash")
+    banded, hot = _cap_hot_buckets_with_hot(
+        banded_all, ["chunk", "piece"], max_bucket_size, metrics, "simhash"
+    )
     left = banded.select("chunk", "piece", F.col("doc").alias("id_a"), F.col("simhash").alias("fa"))
     right = banded.select("chunk", "piece", F.col("doc").alias("id_b"), F.col("simhash").alias("fb"))
     cand = (
@@ -511,10 +598,18 @@ def simhash_near_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
     )
-    if max_bucket_size is not None:
-        rep = fingerprints.groupBy("simhash").agg(F.min("doc").alias("id_a"))
+    if hot is not None:
+        # fingerprint-identical star from DROPPED members only — identical
+        # fingerprints share every (chunk, piece) bucket, so a fingerprint
+        # group is wholly capped or wholly kept (see minhash_lsh_candidates)
+        dropped_docs = (
+            banded_all.join(hot, ["chunk", "piece"], "left_semi")
+            .select("doc", "simhash")
+            .distinct()
+        )
+        rep = dropped_docs.groupBy("simhash").agg(F.min("doc").alias("id_a"))
         star = (
-            fingerprints.join(rep, "simhash")
+            dropped_docs.join(rep, "simhash")
             .filter(F.col("doc") != F.col("id_a"))
             .select("id_a", F.col("doc").alias("id_b"), F.lit(0).cast("int").alias("hamming"))
         )
