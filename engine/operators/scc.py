@@ -50,10 +50,120 @@ from engine.operators._pins import pin as _pin
 
 
 def _ckpt(df: DataFrame, P: int, key: str | None = None) -> DataFrame:
-    """Materialize a round's state with truncated lineage."""
+    """Materialize a round's state with truncated lineage AND truncated
+    Catalyst statistics.
+
+    `localCheckpoint` truncates the lineage but PASSES THE OPTIMIZED
+    PLAN'S COMPUTED STATS into the resulting LogicalRDD — and the default
+    size estimator multiplies child sizeInBytes through every join, so an
+    iterative kernel that references its previous round k times per round
+    compounds the estimate into a BigInteger whose DIGIT COUNT grows
+    k-fold per round. After a few tens of compounding rounds the driver
+    spends minutes inside BigInteger.multiply in
+    SizeInBytesOnlyStatsPlanVisitor while every executor sits idle
+    (observed: 0.3 s → 3 s → 19 s → 100 s per round on a 300-vertex
+    graph; jstack showed 109 s of Toom-Cook BigInteger CPU). Rebuilding
+    the DataFrame from the checkpointed internal RDD resets the stats to
+    the default leaf estimate, which is what AQE's runtime re-planning
+    uses anyway."""
     if key is not None:
         df = df.repartition(P, key)
-    return df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    jdf = ck._jdf
+    return DataFrame(
+        spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        ),
+        spark,
+    )
+
+
+def _max_prop_jump(
+    edges: DataFrame,
+    frm: str,
+    to: str,
+    init: DataFrame,
+    P: int,
+    max_inner: int,
+) -> tuple[DataFrame, int, bool]:
+    """Fixpoint of  val(v) = max id that reaches v along `edges` (frm→to),
+    starting from val(v) = v, by synchronous rounds with POINTER JUMPING:
+
+        val'(v) = max( val(v),  max over edges (u→v) of val(u),  val(val(v)) )
+
+    The jump term is sound because values are always vertex ids of the same
+    graph with "val(v) reaches v" as the invariant: val(v)=c means c
+    reaches v, and val(c)=c' means c' reaches c, so c' reaches v — a valid
+    (possibly larger) value for v. Jumping squares the propagation
+    distance per round, so convergence takes O(log D) rounds instead of
+    O(D) edge-relaxation rounds (the CC large-star trick applied to
+    reachability coloring); the fixpoint is unchanged — it is the unique
+    fixpoint of the edge-relaxation recurrence, which the combined
+    operator also satisfies.
+
+    A changed-frontier (delta) variant was tried and REVERTED: on
+    max-id propagation over a dense random digraph the changed set stays
+    near the full vertex set for most rounds (vertices re-change as larger
+    maxes arrive), so the delta bookkeeping cost exceeds the join savings
+    (measured 36 s → 56 s at 10M edges).
+
+    edges: frame with columns {frm, to}; init: checkpointed (id, val) with
+    val = id, every vertex present. Returns (final (id, val) checkpoint,
+    rounds, converged).
+    """
+    # shuffle_hash hints: every round's joins carry a vertex-state side
+    # that fits per-partition memory (the kernel's standing assumption for
+    # vertex state), and SMJ would re-SORT the edge set every round —
+    # measured 34 s -> 28.5 s over the 10-round coloring at 10M edges.
+    # The jump term is ADAPTIVE: rounds 0-2 are relax-only, so the common
+    # short-diameter case (small peels, web cores after trim) never pays
+    # the extra self-join, while deep graphs still collapse to O(log D)
+    # once jumping starts.
+    JUMP_AFTER = 3
+    val = init
+    rounds = 0
+    converged = False
+    for rnd in range(max_inner):
+        in_max = (
+            edges.join(
+                val.select(F.col("id").alias(frm), "val").hint("shuffle_hash"), frm
+            )
+            .groupBy(F.col(to).alias("id"))
+            .agg(F.max("val").alias("c_in"))
+        )
+        upd = (
+            val.select("id", F.col("val").alias("c_old"))
+            .join(in_max.hint("shuffle_hash"), "id", "left")
+        )
+        terms = ["c_old", F.coalesce("c_in", "c_old")]
+        if rnd >= JUMP_AFTER:
+            jump = (
+                val.select("id", F.col("val").alias("_v"))
+                .join(
+                    val.select(
+                        F.col("id").alias("_v"), F.col("val").alias("c_jump")
+                    ).hint("shuffle_hash"),
+                    "_v",
+                )
+                .select("id", "c_jump")
+            )
+            upd = upd.join(jump.hint("shuffle_hash"), "id", "left")
+            terms.append(F.coalesce("c_jump", "c_old"))
+        # carry the previous value through the checkpoint so the
+        # convergence count is one scan over the just-stored blocks
+        val_new = _ckpt(
+            upd.select("id", F.greatest(*terms).alias("val"), "c_old"),
+            P,  # already hash-partitioned by id from the join exchange —
+                # an explicit repartition would add a full extra shuffle
+        )
+        changed = val_new.filter(F.col("val") != F.col("c_old")).count()
+        val = val_new.select("id", "val")
+        rounds += 1
+        if changed == 0:
+            converged = True
+            break
+    return val, rounds, converged
 
 
 def strongly_connected_components(
@@ -198,36 +308,71 @@ def strongly_connected_components(
         stats = {"outer": rnd, "remaining": n_remaining}
 
         # ---- 1. trim: peel no-in / no-out vertices (singleton SCCs) ----
+        # Decremental-degree fixpoint: ONE edge-sized degree pass up front;
+        # each later round touches only the edges incident to just-trimmed
+        # vertices plus a vertex-sized degree update, and the edge set is
+        # never rewritten inside the loop (the old per-round re-induction
+        # paid a full edge shuffle + checkpoint per trim round — deep-DAG
+        # graphs trim for O(diameter) rounds). e is induced once at the
+        # fixpoint.
         trims = 0
+        deg = _ckpt(
+            e.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+            .union(
+                e.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+            )
+            .groupBy("id")
+            .agg(F.sum("o").alias("outd"), F.sum("i").alias("ind")),
+            P,
+            "id",
+        )
+        # vertices of `remaining` with no edges at all never enter deg; they
+        # are singleton SCCs and die in the first round with the
+        # degree-deficient ones (matches the old keep-from-endpoints logic)
+        pending_iso = remaining.join(deg.select("id"), "id", "left_anti")
         while True:
-            # one shuffle per trim round: tag endpoints, partial-agg map-side,
-            # keep ids seen on BOTH sides (vs two distincts + a join = 3
-            # shuffles over the same edge set)
-            keep = _pin(
-                e.select(F.col("src").alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i"))
-                .union(
-                    e.select(F.col("dst").alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
-                )
-                .groupBy("id")
-                .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
-                .filter((F.col("has_out") == 1) & (F.col("has_in") == 1))
-                .select("id")
+            dead_deg = deg.filter((F.col("outd") <= 0) | (F.col("ind") <= 0)).select("id")
+            dead = _pin(
+                dead_deg if pending_iso is None else dead_deg.union(pending_iso)
             )
-            n_keep = keep.count()
-            if n_keep == n_remaining:
+            pending_iso = None
+            n_dead = dead.count()
+            if n_dead == 0:
+                dead.unpersist()
                 break
-            trimmed = remaining.join(keep, "id", "left_anti")
-            _add(trimmed.select("id", F.col("id").alias("label")))
-            remaining = _ckpt(keep, P, "id")
-            e = _ckpt(
-                e.join(remaining.select(F.col("id").alias("src")), "src", "left_semi")
-                .join(remaining.select(F.col("id").alias("dst")), "dst", "left_semi")
-                .select("src", "dst"),
-                P,
-                "src",
+            _add(dead.select("id", F.col("id").alias("label")))
+            # every edge releases one degree unit at its OTHER endpoint in
+            # the round its endpoint dies (dead sets are disjoint across
+            # rounds, so each edge decrements each endpoint at most once);
+            # decrements aimed at vertices that died this same round find no
+            # deg row — the alive filter below already removed it
+            dec_in = (
+                e.join(dead.select(F.col("id").alias("src")), "src", "left_semi")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.count(F.lit(1)).alias("d_in"))
             )
-            keep.unpersist()  # remaining/e checkpoints now hold the state
-            n_remaining = n_keep
+            dec_out = (
+                e.join(dead.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).alias("d_out"))
+            )
+            # alive-filter + two left joins against the (small) decrement
+            # aggregates: AQE broadcasts them, so the update is map-side
+            # over the checkpointed deg blocks — no vertex-sized shuffle,
+            # hence no repartition before the checkpoint
+            deg = _ckpt(
+                deg.filter((F.col("outd") > 0) & (F.col("ind") > 0))
+                .join(dec_in, "id", "left")
+                .join(dec_out, "id", "left")
+                .select(
+                    "id",
+                    (F.col("outd") - F.coalesce("d_out", F.lit(0))).alias("outd"),
+                    (F.col("ind") - F.coalesce("d_in", F.lit(0))).alias("ind"),
+                ),
+                P,
+            )
+            dead.unpersist()
+            n_remaining -= n_dead
             trims += 1
             # deep-DAG graphs (chains) trim for O(diameter) rounds; the done
             # union grows one node per round and its anti-join inputs are
@@ -235,7 +380,20 @@ def strongly_connected_components(
             # (the BFS visited-compaction rule, bfs.py)
             if done is not None and trims % 25 == 0:
                 done = _ckpt(done, P, "id")
+        if trims > 0:
+            # alive fixpoint: every surviving deg row has in+out degree
+            remaining = _ckpt(deg.select("id"), P, "id")
+        if trims > 0 and n_remaining > 0:
+            # induce the surviving edge set ONCE at the fixpoint
+            e = _ckpt(
+                e.join(remaining.select(F.col("id").alias("src")), "src", "left_semi")
+                .join(remaining.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .select("src", "dst"),
+                P,
+                "src",
+            )
         stats["trim_rounds"] = trims
+        stats["trim_sec"] = round(time.time() - t0, 4)
         if n_remaining == 0:
             if done is not None:
                 done = _ckpt(done, P, "id")
@@ -247,73 +405,82 @@ def strongly_connected_components(
             break
 
         # ---- 2. forward coloring: color(v) = max id reaching v ----
-        color = _ckpt(remaining.select("id", F.col("id").alias("color")), P, "id")
-        colors_done = False
-        for _ in range(max_inner):
-            in_max = (
-                e.join(color.select(F.col("id").alias("src"), "color"), "src")
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.max("color").alias("c_in"))
-            )
-            # carry the previous color through the checkpoint so the
-            # convergence count is one aggregate over the just-stored
-            # blocks, not a second join against the old frame
-            color_new = _ckpt(
-                color.select("id", F.col("color").alias("c_old"))
-                .join(in_max, "id", "left")
-                .select(
-                    "id",
-                    F.greatest("c_old", F.coalesce("c_in", "c_old")).alias("color"),
-                    "c_old",
-                ),
-                P,
-                "id",
-            )
-            changed = color_new.filter(F.col("color") != F.col("c_old")).count()
-            color = color_new.select("id", "color")
-            stats["color_rounds"] = stats.get("color_rounds", 0) + 1
-            if changed == 0:
-                colors_done = True
-                break
+        # pointer-jumping max-propagation (see _max_prop_jump): O(log D)
+        # rounds, identical fixpoint to the plain synchronous recurrence
+        t_color = time.time()
+        init = _ckpt(remaining.select("id", F.col("id").alias("val")), P, "id")
+        color_v, c_rounds, colors_done = _max_prop_jump(
+            e, "src", "dst", init, P, max_inner
+        )
+        stats["color_rounds"] = c_rounds
         if not colors_done:
             raise RuntimeError(
                 f"SCC coloring did not converge within max_inner={max_inner} rounds"
             )
-        # color is an eager localCheckpoint — its blocks are already stored,
-        # no extra persist layer needed for the backward sweep's reuse
+        color = color_v.select("id", F.col("val").alias("color"))
+        stats["color_sec"] = round(time.time() - t_color, 4)
+        t_back = time.time()
 
         # ---- 3. backward sweep restricted to equal color ----
-        # roots: color(r) == r; each vertex reaches exactly one root within
-        # its color class, so membership rows are unique per vertex
+        # The sweep only ever follows edges whose endpoints share a color:
+        # any v→r path from a vertex colored r stays inside color class r
+        # (if it passed through w with fcolor(w) = c > r, then c reaches r
+        # and fcolor(r) >= c > r, contradicting fcolor(r) = r). So the
+        # intra-color edge set is computed ONCE up front and the per-round
+        # color join + filter of the naive form disappears.
+        ecc = _ckpt(
+            e.join(
+                color.select(F.col("id").alias("src"), F.col("color").alias("c_s")),
+                "src",
+            )
+            .join(
+                color.select(F.col("id").alias("dst"), F.col("color").alias("c_d")),
+                "dst",
+            )
+            .filter(F.col("c_s") == F.col("c_d"))
+            .select("src", "dst"),
+            P,
+            "dst",
+        )
+        # frontier BFS from the roots over reversed intra-color edges: per
+        # round the join touches only edges INTO the new members (a
+        # bcolor-style full-table max-propagation was tried and reverted —
+        # its rounds stay vertex-sized while the giant core fills in,
+        # measured 45 s vs 27 s at 10M edges). Membership dedupe is the
+        # members anti-join; the accumulator is a lazy union of per-round
+        # checkpointed frames, compacted every 8 rounds (bfs.py
+        # visited-compaction rule) instead of being rewritten every round.
         roots = color.filter(F.col("color") == F.col("id")).select(
             F.col("id").alias("member"), F.col("id").alias("root")
         )
         members = _ckpt(roots, P, "member")
         frontier = members
-        for _ in range(max_inner):
+        for bk in range(max_inner):
             preds = (
-                e.join(
+                ecc.join(
                     frontier.select(F.col("member").alias("dst"), "root"), "dst"
                 )
                 .select(F.col("src").alias("member"), "root")
                 .distinct()
-                .join(color.select(F.col("id").alias("member"), "color"), "member")
-                .filter(F.col("color") == F.col("root"))
-                .select("member", "root")
             )
-            new = _ckpt(
-                preds.join(members, "member", "left_anti"), P, "member"
-            )
+            new = _ckpt(preds.join(members, "member", "left_anti"), P)
             n_new = new.count()
             stats["backward_rounds"] = stats.get("backward_rounds", 0) + 1
             if n_new == 0:
                 break
-            members = _ckpt(members.union(new), P, "member")
+            members = members.union(new)
+            if (bk + 1) % 8 == 0:
+                members = _ckpt(members, P, "member")
             frontier = new
         else:
             raise RuntimeError(
                 f"SCC backward sweep did not finish within max_inner={max_inner} rounds"
             )
+        # materialize the accumulated membership once for its three readers
+        # (scc_min, the done union, the remaining anti-join)
+        members = _ckpt(members, P, "member")
+
+        stats["backward_sec"] = round(time.time() - t_back, 4)
 
         # ---- 4. label found SCCs with their min member id; peel ----
         scc_min = members.groupBy("root").agg(F.min("member").alias("label"))
@@ -330,13 +497,15 @@ def strongly_connected_components(
             "id",
         )
         n_remaining = remaining.count()
-        e = _ckpt(
-            e.join(remaining.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(remaining.select(F.col("id").alias("dst")), "dst", "left_semi")
-            .select("src", "dst"),
-            P,
-            "src",
-        )
+        if n_remaining > 0:
+            # skip the edge re-induction when the peel emptied the graph
+            e = _ckpt(
+                e.join(remaining.select(F.col("id").alias("src")), "src", "left_semi")
+                .join(remaining.select(F.col("id").alias("dst")), "dst", "left_semi")
+                .select("src", "dst"),
+                P,
+                "src",
+            )
         done = _ckpt(done, P, "id")
         stats["wall_sec"] = round(time.time() - t0, 4)
         all_metrics.append(stats)
