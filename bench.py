@@ -157,9 +157,34 @@ def main():
 
     def _bpe():
         res = bpe_train(docs, num_merges=20)
-        extra["bpe_vocab_size"] = res.vocab.count()
+        n_final = res.vocab.count()
+        n_merges = res.merges.count()
+        extra["bpe_vocab_size"] = n_final
+        # vocab growth artifact (VERDICT r4 #7): each completed merge mints
+        # exactly one new subword symbol, so initial char vocab = final -
+        # merges_done; a regression in the merge loop (early stop, dup
+        # symbols) shows up here round-over-round
+        extra["bpe_vocab_growth"] = {
+            "initial": n_final - n_merges,
+            "merges_done": n_merges,
+            "final": n_final,
+        }
 
     timed("bpe_train_20", _bpe)
+
+    # eval-suite artifact (VERDICT r4 #7): hash-held-out Adamic-Adar link
+    # prediction AUC over the bench edge table — the eval_job.py headline
+    # number, banked per-round so eval regressions are visible. Untimed:
+    # it is a quality metric, not a headline latency query.
+    from engine.operators.linkpred import link_prediction_auc
+
+    with pin_scope():
+        auc_row = link_prediction_auc(edges, test_frac=0.2).collect()[0]
+        extra["linkpred_auc"] = {
+            "auc": auc_row["auc"],
+            "n_test": auc_row["n_test"],
+            "n_pos": auc_row["n_pos"],
+        }
 
     edges.unpersist()
     extra["trials"] = trials
