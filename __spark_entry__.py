@@ -678,6 +678,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return dedupe.simhash_fingerprints(d, "doc_id", "text")
 
+    def d4b_simhash_md5(spark, sf):
+        # Post-window: check_contract-validated. md5-portable twin of d4:
+        # the SAME tf-weighted per-bit vote code path, hash parameterized
+        # to the 60-bit md5 arithmetic so DuckDB recomputes every
+        # fingerprint bit-for-bit (60 per-bit sums + a bit-fold — the d3b
+        # technique applied to SimHash; d4 stays xxhash64/rows-only).
+        d = _t(spark, sf, "documents")
+        return dedupe.simhash_fingerprints(d, "doc_id", "text", hash_fn="md5")
+
     def sim1_cosine_topk(spark, sf):
         e = _t(spark, sf, "embeddings")
         return similarity.cosine_topk(e, k=3).select(
@@ -2021,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_cc_curve": a20_cc_curve,
         "g50_component_sizes": g50_component_sizes,
         "d3b_minhash_md5_pairs": d3b_minhash_md5_pairs,
+        "d4b_simhash_md5": d4b_simhash_md5,
         "i1_pagerank": i1_pagerank,
         "g11_hyperball_nf": g11_hyperball_nf,
         "i2_personalized_pagerank": i2_personalized_pagerank,
@@ -5201,5 +5211,36 @@ def oracle_sql() -> dict[str, str]:
         JOIN sz sa ON sa.doc = id_a
         JOIN sz sb ON sb.doc = id_b
         WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    """
+
+    # d4b: 60-bit md5 SimHash recomputed from scratch — tf-weighted per-bit
+    # votes (60 signed sums) then a bit-fold; pure BIGINT bit arithmetic on
+    # both engines.
+    _sh_sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS s{i}"
+        for i in range(60)
+    )
+    _sh_fold = "\n               + ".join(
+        f"(CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    sql["d4b_simhash_md5"] = f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id AS doc, unnest({_TOK}) AS term FROM documents
+        ), tf AS MATERIALIZED (
+            SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc, term
+        ), h AS MATERIALIZED (
+            SELECT doc, tf,
+                   ('0x' || substring(md5(term), 1, 15))::BIGINT AS h
+            FROM tf
+        ), sums AS MATERIALIZED (
+            SELECT doc,
+                   {_sh_sums}
+            FROM h GROUP BY doc
+        )
+        SELECT doc,
+               CAST({_sh_fold} AS BIGINT) AS simhash
+        FROM sums
     """
     return sql

@@ -524,18 +524,29 @@ def drop_near_duplicates(
 # ---------------------------------------------------------------- SimHash
 
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc, simhash BIGINT): 64-bit SimHash over tf-weighted tokens.
+    """(doc, simhash BIGINT): SimHash over tf-weighted tokens.
 
-    Per bit i: s_i = Σ_terms tf · (bit_i(xxhash64(term)) ? +1 : -1);
-    fingerprint bit i set iff s_i > 0. 64 sum-aggregates in one hash agg —
-    all codegen'd, no Python."""
+    Per bit i: s_i = Σ_terms tf · (bit_i(hash(term)) ? +1 : -1);
+    fingerprint bit i set iff s_i > 0. One hash agg with a sum per bit —
+    all codegen'd, no Python.
+
+    hash_fn: 'xxhash64' (default — 64 bits) or 'md5' (60 bits, the
+    minhash/walks md5 60-bit portability arithmetic, so a DuckDB oracle
+    can recompute the fingerprints bit-for-bit — see d4b in
+    __spark_entry__.py). The downstream banding/verify in
+    simhash_near_pairs is width-agnostic (a 60-bit fingerprint simply has
+    four zero bits in its top chunk)."""
+    nbits = 64 if hash_fn == "xxhash64" else 60
     tf = (
         docs.select(F.col(id_col).alias("doc"), F.explode(tokenize_col(F.col(text_col))).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", _mh_hash([F.col("term")], hash_fn))
     )
     aggs = [
         F.sum(
@@ -543,11 +554,11 @@ def simhash_fingerprints(
                 -F.col("tf")
             )
         ).alias(f"s{i}")
-        for i in range(64)
+        for i in range(nbits)
     ]
     sums = tf.groupBy("doc").agg(*aggs)
     fp = None
-    for i in range(64):
+    for i in range(nbits):
         bit = F.when(F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )

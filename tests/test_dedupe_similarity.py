@@ -235,6 +235,34 @@ def test_simhash_fingerprints_deterministic(spark):
     assert fps == fps2  # rerun-deterministic
 
 
+def test_simhash_md5_twin_matches_python(spark):
+    """hash_fn='md5' (the d4b portability contract): the 60-bit engine
+    fingerprints equal a hashlib/pure-Python recomputation bit-for-bit."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    rows = [
+        (1, "pagerank ranks the web graph by the random surfer model"),
+        (2, "pagerank ranks the web graph by the random surfer model"),
+        (3, "cooking bread at home requires flour water salt and patience"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc: r.simhash for r in dedupe.simhash_fingerprints(df, hash_fn="md5").collect()}
+    assert fps[1] == fps[2] and fps[1] != fps[3]
+    for doc_id, text in rows:
+        tf = Counter(re.findall(r"[a-z0-9_]+", text.lower()))
+        sums = [0] * 60
+        for term, cnt in tf.items():
+            h = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+            for i in range(60):
+                sums[i] += cnt if (h >> i) & 1 else -cnt
+        want = sum(1 << i for i in range(60) if sums[i] > 0)
+        assert fps[doc_id] == want, doc_id
+    fps2 = {r.doc: r.simhash for r in dedupe.simhash_fingerprints(df, hash_fn="md5").collect()}
+    assert fps == fps2  # rerun-deterministic
+
+
 def test_simhash_near_pairs_banding(spark):
     # handcrafted fingerprints with known hamming distances
     f1 = 0b1010_1111_0000_1100
